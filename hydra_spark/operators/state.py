@@ -1,0 +1,89 @@
+"""Latest-wins keyed state — Hydra's compacted-topic cache as a Spark op.
+
+Hydra materializes compacted Kafka topics into latest-value-per-key
+in-memory maps: add on Some(value), remove on tombstone
+(reference: ingestors/kafka/src/main/scala/hydra/kafka/algebras/
+ConsumerGroupsAlgebra.scala:254-303 consumeDVSConsumersTopicIntoCache;
+same pattern MetadataAlgebra.scala:36-119, StreamsManagerActor.scala:78-89).
+
+Spark-first mapping:
+  * batch/refresh: row_number() over (partition by key order by ts desc)
+    = 1, then drop tombstones — one shuffle, whole-stage codegen.
+  * streaming: applyInPandasWithState — per-key state holds the current
+    (ts, value); emits a row whenever the winner changes; tombstone
+    (null value) clears the state and emits a deletion marker so the
+    sink can MERGE DELETE.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def latest_wins_batch(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "event_time",
+    value_col: str = "transcript",
+    tiebreak_cols: list[str] | None = None,
+    drop_tombstones: bool = True,
+) -> DataFrame:
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    out = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    if drop_tombstones:
+        out = out.where(F.col(value_col).isNotNull())
+    return out
+
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("ts_ms", T.LongType()), T.StructField("value", T.StringType())]
+)
+
+
+def latest_wins_stream(
+    df: DataFrame,
+    key_col: str = "clip_id",
+    ts_col: str = "event_time",
+    value_col: str = "transcript",
+    watermark: str = "60 seconds",
+) -> DataFrame:
+    """Streaming latest-wins: emits (key, ts, value, deleted) on change."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.StringType()),
+            T.StructField("deleted", T.BooleanType()),
+        ]
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cur_ts, cur_val = state.get if state.exists else (None, None)
+        changed = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                ts_ms = int(row[ts_col].value // 10**6)
+                if cur_ts is None or ts_ms >= cur_ts:
+                    cur_ts, cur_val = ts_ms, row[value_col]
+                    changed = True
+        if changed:
+            state.update((cur_ts, cur_val))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    ts_col: [pd.Timestamp(cur_ts, unit="ms")],
+                    value_col: [cur_val],
+                    "deleted": [cur_val is None],
+                }
+            )
+
+    g = df.withWatermark(ts_col, watermark).groupBy(key_col) if df.isStreaming else df.groupBy(key_col)
+    return g.applyInPandasWithState(
+        fn, out_schema, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

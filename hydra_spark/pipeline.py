@@ -1,0 +1,175 @@
+"""Flagship pipeline: source → validate → decode → join → window → sink.
+
+This is the end-to-end CEP job the north rule describes, assembled from
+the engine's operators. Architecture (deliberate, scale-driven):
+
+  stream side (stateful, RocksDB-backed):
+      audio stream ⋈ transcript stream   — interval join, watermarked
+  batch side, per micro-batch (stateless, inside foreachBatch):
+      admission checks → salted repartition → vectorized decode →
+      transcript normalize → tumbling-window key → keyed MERGE +
+      quarantine + lineage + metrics in one atomic commit
+
+Keeping exactly ONE stateful operator in the streaming plan (the join)
+sidesteps Spark's chained-stateful-operator restrictions (SURVEY.md §7
+risk) and keeps state-store size = join state only. Cross-batch
+duplicate delivery is absorbed by the MERGE key (clip_id, window_start)
+— idempotence replaces a second dedup state store; the standalone dedup
+operator (operators/join.dedup_within_watermark) remains available and
+tested for pipelines that need pre-join dedup.
+
+A second, independent streaming query computes per-(window, codec)
+aggregates in append mode (windows finalize at the watermark) — the CEP
+rollup output.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hydra_spark import tables as tbl, validation
+from hydra_spark.functions.decode import decode_features
+from hydra_spark.functions.text import normalize_transcript
+from hydra_spark.operators import windows as win
+from hydra_spark.operators.join import clip_transcript_join
+from hydra_spark.operators.skew import salted_repartition
+from hydra_spark.sink import ExactlyOnceSink
+from hydra_spark.sources.replay import stream_table
+from hydra_spark.synth import CLIPS_SCHEMA
+
+WINDOW_SIZE = "10 seconds"
+WATERMARK = "60 seconds"
+JOIN_LO, JOIN_HI = "10 seconds", "60 seconds"
+
+
+def _audio_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([f for f in CLIPS_SCHEMA.fields if f.name != "transcript"])
+
+
+def _transcript_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("transcript", T.StringType(), True),
+            T.StructField("event_time", T.TimestampType(), False),
+        ]
+    )
+
+
+def window_start_col(event_col: str = "event_time", size: str = WINDOW_SIZE):
+    """Deterministic tumbling-window floor for the sink key."""
+    secs = int(size.split()[0])
+    return F.timestamp_seconds(
+        (F.unix_timestamp(F.col(event_col)) / secs).cast("long") * secs
+    )
+
+
+def enrich_batch(batch_df: DataFrame, num_partitions: int = 32, max_bytes: int | None = 4_000_000) -> DataFrame:
+    """The per-micro-batch transform stage (Hydra's record-factory run
+    batch-side): admission → salted repartition → decode → normalize →
+    window key. Returns rows carrying reject_reason for the sink to
+    split into output vs quarantine."""
+    checked = validation.admission_checks(batch_df, max_bytes=max_bytes)
+    admitted, quarantined = validation.split_admitted(checked)
+    spread = salted_repartition(admitted, num_partitions, "codec", "sr_hz")
+    decoded = decode_features(spread)
+    out = decoded.withColumn(
+        "transcript_norm", normalize_transcript(F.col("transcript"))
+    ).withColumn("window_start", window_start_col())
+    # decode failures join the quarantine flow, with their reason
+    out = out.withColumn(
+        "reject_reason",
+        F.when(F.col("decode_error").isNotNull(), F.concat(F.lit("DecodeError:"), F.col("decode_error"))),
+    )
+    qcols = out.columns
+    quar = (
+        quarantined.withColumn("n_samples", F.lit(None).cast("int"))
+        .withColumn("rms_db", F.lit(None).cast("double"))
+        .withColumn("peak", F.lit(None).cast("double"))
+        .withColumn("decode_error", F.lit(None).cast("string"))
+        .withColumn("transcript_norm", F.lit(None).cast("string"))
+        .withColumn("window_start", window_start_col())
+        .drop("bytes")
+        .select(*qcols)
+    )
+    return out.unionByName(quar)
+
+
+def build_tables(root: str) -> dict:
+    return tbl.bootstrap(root, ["clip_id", "window_start"])
+
+
+def start_flagship(
+    spark: SparkSession,
+    audio_dir: str,
+    transcripts_dir: str,
+    out_root: str,
+    files_per_trigger: int = 8,
+    ack: str = "replicated",
+    num_partitions: int | None = None,
+):
+    """Start the enriched-output streaming query. Returns (query, sink)."""
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t = build_tables(out_root)
+    audio = stream_table(spark, audio_dir, schema=_audio_schema(), files_per_trigger=files_per_trigger)
+    trs = stream_table(spark, transcripts_dir, schema=_transcript_schema(), files_per_trigger=files_per_trigger)
+    joined = clip_transcript_join(
+        audio, trs, lo=JOIN_LO, hi=JOIN_HI, how="left_outer",
+        clip_watermark=WATERMARK, transcript_watermark=WATERMARK,
+    )
+    sink = ExactlyOnceSink(t, ["clip_id", "window_start"], ack=ack)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(enrich_batch(batch_df, num_partitions), batch_id)
+
+    q = (
+        joined.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))
+        .outputMode("append")
+        .start()
+    )
+    return q, sink, t
+
+
+def start_window_rollup(
+    spark: SparkSession,
+    audio_dir: str,
+    out_root: str,
+    files_per_trigger: int = 8,
+):
+    """Independent per-(window, codec) rollup query (append mode —
+    windows emit once, when the watermark passes)."""
+    rollup_tbl = tbl.TransactionalTable(
+        os.path.join(out_root, "rollup"), ["window_start", "codec"]
+    )
+    audio = stream_table(spark, audio_dir, schema=_audio_schema(), files_per_trigger=files_per_trigger)
+    decoded = decode_features(audio).where(F.col("decode_error").isNull())
+    agg = win.tumbling(
+        decoded,
+        WINDOW_SIZE,
+        "codec",
+        aggs=[
+            F.count("*").alias("n_clips"),
+            F.sum("n_samples").alias("total_samples"),
+            F.avg("rms_db").alias("avg_rms_db"),
+            F.max("peak").alias("max_peak"),
+        ],
+        watermark=WATERMARK,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_tbl.merge_upsert(spark, batch_df, batch_id)
+
+    q = (
+        agg.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_root, "_checkpoint_rollup"))
+        .outputMode("append")
+        .start()
+    )
+    return q, rollup_tbl

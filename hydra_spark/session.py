@@ -1,0 +1,58 @@
+"""SparkSession factory for the engine.
+
+Local sandbox runs on local[N] (single JVM); on a real cluster the same
+builder config applies unchanged except master/memory. Every knob here
+scales with `cores` so the local[8] vs local[32] scaling-efficiency
+measurement (BASELINE.md) is apples-to-apples: shuffle partitions,
+state-store partitions and source partitioning all track parallelism —
+no fixed-width stage that would flatten the scaling curve.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# RocksDB-backed state store: state spills to disk instead of growing the
+# JVM heap — required posture for 10^12-key state at cluster scale.
+ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def get_spark(
+    cores: int | None = None,
+    app_name: str = "hydra_spark",
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "48g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # at cluster scale: 2-3x total executor cores; locally: = cores
+        shuffle_partitions = cores
+
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # audio rows carry ~10-60 KB binary payloads; cap Arrow batch rows
+        # so a decode batch stays ~10-60 MB, not 10k-row default x 60 KB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,109 @@
+"""Exactly-once sink with Hydra ack-strategy modes.
+
+Hydra's transport dispatches on AckStrategy — NoAck (fire-and-forget),
+Persisted (journaled locally), Replicated (wait for broker ack)
+(reference: core/src/main/scala/hydra/core/transport/AckStrategy.scala:35-45,
+Transport.scala:51-83). The Spark mapping (SURVEY.md §2.4 K1):
+
+  * noack      — blind append, no idempotence bookkeeping (fastest,
+                 at-most-once under replay races)
+  * persisted  — append with batch-id idempotent file naming
+                 (at-least-once input -> no double-append)
+  * replicated — keyed MERGE + lineage + metrics committed atomically
+                 per micro-batch (exactly-once; the default, and the
+                 mode all correctness gates use)
+
+Structured Streaming replays uncommitted batches after failure
+(at-least-once, the analog of Hydra's AtLeastOnceDelivery redelivery,
+Transport.scala:13-49); the batch_id-keyed MERGE makes the replay a
+no-op — together: exactly-once.
+
+Determinism note (SURVEY.md §7): nothing in this path calls
+current_timestamp(); processing-time fields live only in _metrics.
+Hydra's System.currentTimeMillis() at KafkaRecord.scala:11 is the
+replay-nondeterminism trap this avoids.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from hydra_spark import lineage as lin
+from hydra_spark.operators.state import latest_wins_batch
+
+
+class ExactlyOnceSink:
+    """foreachBatch callable. Writes output + quarantine + lineage +
+    metrics for each micro-batch, idempotent per batch_id."""
+
+    def __init__(
+        self,
+        tables: dict,
+        key_cols: list[str],
+        ack: str = "replicated",
+        ts_col: str = "event_time",
+        has_lineage_cols: bool = True,
+    ):
+        assert ack in ("noack", "persisted", "replicated")
+        self.tables = tables
+        self.key_cols = key_cols
+        self.ack = ack
+        self.ts_col = ts_col
+        self.has_lineage_cols = has_lineage_cols
+        self.batches_seen: list = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            n_in = batch_df.count()
+            if "reject_reason" in batch_df.columns:
+                good = batch_df.where(F.col("reject_reason").isNull()).drop("reject_reason")
+                quar = batch_df.where(F.col("reject_reason").isNotNull())
+                n_quar = quar.count()
+                if n_quar:
+                    qcols = [c for c in quar.columns if c not in ("bytes", "pcm")]
+                    self.tables["quarantine"].append_pandas(quar.select(*qcols).toPandas(), batch_id)
+            else:
+                good, n_quar = batch_df, 0
+
+            # within-batch latest-wins on the sink key (caller may have
+            # already deduped; this makes MERGE input key-unique)
+            deduped = latest_wins_batch(
+                good, self.key_cols, ts_col=self.ts_col, drop_tombstones=False, value_col=self.key_cols[0]
+            )
+
+            committed = True
+            if self.ack == "noack":
+                # fire-and-forget append (RecordAccepted immediately)
+                self.tables["output"].merge_upsert(spark, deduped, f"noack-{batch_id}-{time.time_ns()}")
+            elif self.ack == "persisted":
+                committed = self.tables["output"].merge_upsert(spark, deduped, batch_id)
+            else:  # replicated
+                committed = self.tables["output"].merge_upsert(spark, deduped, batch_id)
+                if committed and self.has_lineage_cols and "ingest_partition" in good.columns:
+                    self.tables["lineage"].append_pandas(
+                        lin.batch_lineage_rows(good).toPandas().assign(batch_id=batch_id), batch_id
+                    )
+
+            if committed:
+                mrow = pd.DataFrame(
+                    [
+                        {
+                            "batch_id": int(batch_id),
+                            "rows_in": int(n_in),
+                            "rows_quarantined": int(n_quar),
+                            "ack": self.ack,
+                            "commit_wall_s": time.time() - t0,
+                            "committed_at_unix": time.time(),  # _metrics only
+                        }
+                    ]
+                )
+                self.tables["metrics"].append_pandas(mrow, batch_id)
+            self.batches_seen.append(batch_id)
+        finally:
+            batch_df.unpersist()

@@ -1,0 +1,232 @@
+"""Deterministic synthesis of the input table (FIXTURES.md §1-§3).
+
+Input shape fixed by BASELINE.json ``input_hint``:
+  (clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,
+   transcript string)
+plus engine-side lineage columns (ingest_partition, ingest_offset,
+event_time) — the Spark analog of Hydra's per-partition offset lineage
+(reference: ingestors/kafka/src/main/scala/hydra/kafka/algebras/
+KafkaClientAlgebra.scala:164-166 ``type OffsetInfo = (Partition, Offset)``).
+
+Everything is seeded; no wall clock anywhere (Hydra's
+``System.currentTimeMillis()`` in KafkaRecord.scala:11 is exactly the
+replay-nondeterminism trap we avoid). Event time = EPOCH_2025_01_01 +
+per-ingest-partition cumulative sum of prior dur_ms.
+
+Waveform generation (the expensive part) runs distributed via
+``mapInPandas`` over Arrow batches — generation scales with cores like
+the engine itself.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from hydra_spark import audio
+
+EPOCH_2025 = np.datetime64("2025-01-01T00:00:00", "ms")
+DEFAULT_SEED = 42
+N_INGEST_PARTITIONS = 32
+
+SR_CHOICES = np.array([8000, 16000, 22050, 44100])
+SR_WEIGHTS = np.array([0.5, 0.3, 0.15, 0.05])
+CODEC_CHOICES = np.array(["pcm16", "ulaw", "alaw"])
+CODEC_WEIGHTS = np.array([0.8, 0.15, 0.05])  # dominant-codec skew, intentional
+
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog while seven wizards "
+    "pack my box with five dozen liquor jugs and sphinx of black quartz "
+    "judge my vow amazingly few discotheques provide jukeboxes"
+).split()
+
+# FIXTURES.md §4 byte-parity normalization cases, injected every 7th row
+_NORM_CASES = [
+    "  hello world  ",
+    "a   b",
+    "HeLLo",
+    "café",  # NFD -> NFC "café"
+    "a\r\n\tb",
+    "don't stop.",
+    "MiXeD   CaSe\twith\r\nbreaks ",
+]
+
+CLIPS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sr_hz", T.IntegerType(), False),
+        T.StructField("dur_ms", T.IntegerType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("transcript", T.StringType(), True),
+        T.StructField("ingest_partition", T.IntegerType(), False),
+        T.StructField("ingest_offset", T.LongType(), False),
+        T.StructField("event_time", T.TimestampType(), False),
+    ]
+)
+
+
+def synth_metadata(
+    n: int,
+    seed: int = DEFAULT_SEED,
+    n_partitions: int = N_INGEST_PARTITIONS,
+) -> pd.DataFrame:
+    """All scalar columns for n clips, vectorized on the driver.
+
+    Waveform bytes are NOT here (see write_clips) — metadata for 1M rows
+    is ~100 MB; bytes would be ~20 GB and belong on the executors.
+    """
+    rng = np.random.default_rng(seed)
+    i = np.arange(n, dtype=np.int64)
+    sr = SR_CHOICES[rng.choice(len(SR_CHOICES), size=n, p=SR_WEIGHTS)].astype(np.int32)
+    dur = rng.integers(200, 3000, size=n).astype(np.int32)
+    codec = CODEC_CHOICES[rng.choice(len(CODEC_CHOICES), size=n, p=CODEC_WEIGHTS)]
+
+    # transcripts: 3-8 template words; every 7th row a normalization case;
+    # ~1% empty, ~0.5% NULL (tombstone)
+    word_idx = rng.integers(0, len(_WORDS), size=(n, 8))
+    n_words = rng.integers(3, 9, size=n)
+    u = rng.random(n)
+    transcripts: list[str | None] = []
+    for k in range(n):
+        if u[k] < 0.005:
+            transcripts.append(None)
+        elif u[k] < 0.015:
+            transcripts.append("")
+        elif k % 7 == 3:
+            transcripts.append(_NORM_CASES[(k // 7) % len(_NORM_CASES)])
+        else:
+            transcripts.append(" ".join(_WORDS[j] for j in word_idx[k, : n_words[k]]))
+
+    part = (i % n_partitions).astype(np.int32)
+    # per-partition 0-based offsets and event-time cumsum of PRIOR dur_ms
+    offset = np.zeros(n, dtype=np.int64)
+    ts_ms = np.zeros(n, dtype=np.int64)
+    for p in range(n_partitions):
+        mask = part == p
+        offset[mask] = np.arange(mask.sum(), dtype=np.int64)
+        d = dur[mask].astype(np.int64)
+        ts_ms[mask] = np.concatenate(([0], np.cumsum(d)[:-1]))
+
+    return pd.DataFrame(
+        {
+            "_i": i,
+            "clip_id": [f"clip-{k:012d}" for k in i],
+            "sr_hz": sr,
+            "dur_ms": dur,
+            "codec": codec,
+            "transcript": pd.Series(transcripts, dtype=object),
+            "ingest_partition": part,
+            "ingest_offset": offset,
+            "event_time": EPOCH_2025 + ts_ms.astype("timedelta64[ms]"),
+        }
+    )
+
+
+def _encode_batches(seed: int, truncate_pct: float = 0.0):
+    """mapInPandas fn: add codec-encoded waveform bytes per row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            codecs = pdf["codec"].tolist()
+            for row_pos, (i, sr, dur, codec) in enumerate(
+                zip(pdf["_i"], pdf["sr_hz"], pdf["dur_ms"], pdf["codec"])
+            ):
+                x = audio.waveform(int(i), int(sr), int(dur), seed)
+                buf = audio.encode(x, str(codec))
+                if truncate_pct > 0.0 and (int(i) % 1000) < truncate_pct * 1000:
+                    # undecodable record for ANY codec (Hydra bad-record
+                    # skip semantics, KafkaClientAlgebra.scala:380-395);
+                    # deterministic: oracle knows i %% 1000 < pct*1000
+                    codecs[row_pos] = "corrupt"
+                out_bytes.append(buf)
+            pdf = pdf.assign(bytes=out_bytes, codec=codecs)
+            yield pdf[[f.name for f in CLIPS_SCHEMA.fields]]
+
+    return fn
+
+
+def write_clips(
+    spark: SparkSession,
+    out_dir: str,
+    n: int,
+    seed: int = DEFAULT_SEED,
+    n_partitions: int = N_INGEST_PARTITIONS,
+    files: int | None = None,
+    truncate_pct: float = 0.0,
+) -> str:
+    """Generate the clips table to ``out_dir`` (parquet). Returns path."""
+    meta = synth_metadata(n, seed, n_partitions)
+    files = files or max(8, min(256, n // 4000))
+    meta_schema = T.StructType([T.StructField("_i", T.LongType(), False), *CLIPS_SCHEMA.fields[:1], *CLIPS_SCHEMA.fields[2:]])
+    sdf = spark.createDataFrame(meta, schema=meta_schema)
+    # spread rows across `files` tasks by clip index (waveform gen is the
+    # hot loop — parallelism here = generation throughput)
+    sdf = sdf.repartition(files, "_i")
+    out = sdf.mapInPandas(_encode_batches(seed, truncate_pct), schema=CLIPS_SCHEMA)
+    out.write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def split_streams(
+    spark: SparkSession,
+    clips_dir: str,
+    audio_dir: str,
+    transcripts_dir: str,
+    seed: int = DEFAULT_SEED,
+    late_pct: float = 0.05,
+    very_late_pct: float = 0.01,
+    files: int = 32,
+) -> tuple[str, str]:
+    """Split the clips table into the two join-side streams (FIXTURES.md §2).
+
+    clips_audio(clip_id, bytes, sr_hz, dur_ms, codec, event_time, lineage)
+    transcripts_late(clip_id, transcript, event_time) — 5%% delayed 1-45 s,
+    1%% delayed beyond the watermark (must be dropped by the engine).
+    Delays are a deterministic hash of clip_id — no RNG at read time.
+    """
+    clips = spark.read.parquet(clips_dir)
+    aud = clips.drop("transcript")
+    aud.repartition(files, "ingest_partition").write.mode("overwrite").parquet(audio_dir)
+
+    h = F.abs(F.hash("clip_id"))
+    delay_s = (
+        F.when(h % 100 < int(very_late_pct * 100), 90 + (h % 30))  # beyond 60s tolerance
+        .when(h % 100 < int((late_pct + very_late_pct) * 100), 1 + (h % 45))
+        .otherwise(0)
+    )
+    tr = (
+        clips.where(F.col("transcript").isNotNull())
+        .select(
+            "clip_id",
+            "transcript",
+            (F.col("event_time") + F.make_dt_interval(secs=delay_s.cast("double"))).alias("event_time"),
+        )
+    )
+    tr.repartition(files, F.abs(F.hash("clip_id")) % files).write.mode("overwrite").parquet(transcripts_dir)
+    return audio_dir, transcripts_dir
+
+
+def ensure_dataset(
+    spark: SparkSession,
+    root: str,
+    n: int,
+    seed: int = DEFAULT_SEED,
+    with_streams: bool = True,
+) -> dict[str, str]:
+    """Idempotent: build clips (+ split streams) under root if missing."""
+    paths = {
+        "clips": os.path.join(root, f"clips_n{n}"),
+        "audio": os.path.join(root, f"clips_audio_n{n}"),
+        "transcripts": os.path.join(root, f"transcripts_n{n}"),
+    }
+    if not os.path.exists(os.path.join(paths["clips"], "_SUCCESS")):
+        write_clips(spark, paths["clips"], n, seed)
+    if with_streams and not os.path.exists(os.path.join(paths["transcripts"], "_SUCCESS")):
+        split_streams(spark, paths["clips"], paths["audio"], paths["transcripts"], seed)
+    return paths

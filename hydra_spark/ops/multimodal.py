@@ -1,0 +1,105 @@
+"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque `binary` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The image/video codec libraries are
+NOT in this container, so the codec call itself is stubbed: with
+``fake=True`` (default) a deterministic hash-derived feature vector is
+produced (schema, partitioning, UDF signature and batch shape are all
+real and tested); with ``fake=False`` the stage raises NotImplementedError
+at the exact point a real decoder (PIL / ffmpeg) would be invoked.
+
+The audio modality is NOT stubbed — hydra_spark.functions.decode does
+real G.711/PCM decode; this module is the pattern generalized to
+image/video payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+_FEAT_DIM = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, mime: str):
+    """Deterministic stand-in for the codec call: dims + features derived
+    from a sha256 of the payload. STUB — replace with PIL/ffmpeg decode."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    feats = (np.frombuffer(h[: _FEAT_DIM * 2], dtype=np.uint16).astype(np.float32) / 65535.0)
+    return width, height, feats
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """payload binary -> (dims, feature vector) over Arrow batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["payload"] is None:
+                    rows.append((r["media_id"], r["mime"], None, None, None, None, "null payload"))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real image/video decode requires PIL/ffmpeg (not in container); "
+                        "use fake=True for the deterministic stub"
+                    )
+                w, h, feats = _fake_decode(bytes(r["payload"]), r["mime"])
+                rows.append((r["media_id"], r["mime"], len(r["payload"]), w, h, feats, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    # salt by media_id so one hot mime type cannot skew decode tasks
+    return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: expands per-clip frame indexes
+    JVM-side (sequence/explode); the per-frame decode would then run in
+    extract_features over the (media_id, frame_idx) grain."""
+    n_frames = (F.length("payload") / 1024).cast("int")  # stub: 1 KiB ≈ 1 frame
+    return df.select(
+        "media_id",
+        "mime",
+        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))).alias(
+            "frame_idx"
+        ),
+    )
+
+
+def docs_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat documents.text as an opaque payload for plumbing
+    tests in this container (no real image bytes available)."""
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )

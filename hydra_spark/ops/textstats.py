@@ -1,0 +1,95 @@
+"""Text analysis ops — language ID, quality scoring, tokens, fingerprints.
+
+All JVM-side built-ins (regexp_count / length / md5) — zero Python in
+these paths, so they run in whole-stage codegen at any scale, and every
+one has an exact ANSI-SQL analog for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny deterministic stopword banks per language (n-gram-heuristic
+# stand-in; a real lang-id model would be a broadcast lookup table)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+}
+
+
+def _count_words(col, words: list[str]):
+    expr = F.lit(0).cast("long")
+    for w in words:
+        expr = expr + F.regexp_count(col, F.lit(rf"\b{w}\b"))
+    return expr
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language guess: argmax over per-language hit counts,
+    'und' (undetermined) when all zero. Ties break by language order
+    en > de > fr (deterministic)."""
+    t = F.lower(F.col(text_col))
+    en = _count_words(t, LANG_STOPWORDS["en"])
+    de = _count_words(t, LANG_STOPWORDS["de"])
+    fr = _count_words(t, LANG_STOPWORDS["fr"])
+    guess = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return df.select(F.col(id_col), guess.alias("lang_guess"), en.alias("en_hits"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = F.regexp_count(t, F.lit(r"[.!?,;:]"))
+    n_stop = _count_words(F.lower(t), LANG_STOPWORDS["en"])
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(n_stop / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0)) * 0.5,
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Whitespace token totals per group (corpus size accounting)."""
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return df.groupBy(group_col).agg(
+        F.sum(n_tokens).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 over normalized text
+    (lower + trim). Identical hex in Spark and ANSI SQL."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def binary_metadata(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Opaque-binary plumbing demo: byte length + prefix digest of the
+    payload treated as binary (the multimodal column pattern)."""
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        F.col(id_col),
+        F.length(payload).alias("n_bytes"),
+        F.md5(F.substring(F.col(text_col), 1, 16)).alias("prefix_md5"),
+    )

@@ -1,0 +1,252 @@
+"""Batch-checkable analogs of the engine's operators over the driver testdata.
+
+Each function here is the DataFrame form of a SURVEY.md §2 operator,
+expressed over the driver-generated tables (events / orders / lineitem /
+customer / nation / documents) so the DuckDB oracle can verify it at
+sf=0.01. The streaming forms of the same operators live in
+hydra_spark.operators / sources / sink and are exercised by the pytest
+suite against the synthesized clips stream.
+
+Determinism rules for oracle parity (value-hash comparison):
+  * timestamps are emitted as epoch microseconds (unix_micros) — no
+    timezone ambiguity between Spark and DuckDB
+  * double aggregates are rounded to 4 decimals — double accumulation
+    order differs between engines; 1e-10 noise must not flip the hash
+  * every computed column is aliased identically in SQL and DataFrame
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from hydra_spark import lineage as lin
+from hydra_spark.operators import windows as win
+from hydra_spark.sources.replay import seek_predicate
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _us(col):
+    """epoch microseconds; parquet naive timestamps arrive as
+    TIMESTAMP_NTZ in Spark 4 — cast to session-TZ (UTC) timestamp."""
+    return F.unix_micros(F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp"))
+
+
+# ------------------------------------------------------ §2.8 windows
+
+def tumbling_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    out = win.tumbling(
+        ev, "10 minutes", "event_type",
+        aggs=[F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")],
+        event_col="ts",
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"), "event_type", "n_events", "sum_value"
+    )
+
+
+def sliding_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    out = win.sliding(
+        ev, "10 minutes", "5 minutes", "event_type",
+        aggs=[F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")],
+        event_col="ts",
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"), "event_type", "n_events", "sum_value"
+    )
+
+
+def session_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    out = win.session(
+        ev, "30 minutes", "user_id",
+        aggs=[F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")],
+        event_col="ts",
+    )
+    return out.select(
+        "user_id",
+        _us("window_start").alias("session_start_us"),
+        _us("window_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# ------------------------------------------------------ A1/A2/A3/A4 state & lag
+
+def dedup_latest_wins(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", _us("ts").alias("ts_us"))
+    )
+
+
+def tombstone_latest_state(spark, sf_dir):
+    """Latest-wins then drop keys whose winner is a tombstone
+    ('error' events stand in for Hydra's null-payload deletes)."""
+    latest = dedup_latest_wins(spark, sf_dir)
+    return latest.where(F.col("event_type") != "error")
+
+
+def latest_offsets(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return lin.latest_offsets(ev, part_col="event_type", off_col="event_id").select(
+        "event_type", "latest_offset", F.col("rows").alias("n_rows")
+    )
+
+
+def consumer_lag(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    latest = ev.groupBy("event_type").agg(F.max("event_id").alias("latest_offset"))
+    committed = (
+        ev.where(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.max("event_id").alias("committed_offset"))
+    )
+    j = lin.consumer_lag(latest, committed, part_col="event_type")
+    return j.select("event_type", "latest_offset", "committed_offset", F.col("lag").alias("offset_lag"))
+
+
+def groups_inversion(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+# ------------------------------------------------------ S5/S7 source ops
+
+def bounded_tail(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 9000)
+    w = W.partitionBy("event_type").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 5)
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+SEEK_MAP = {"click": 4000, "purchase": 8000}
+
+
+def seek_from_offsets(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    pred = seek_predicate({k: v for k, v in SEEK_MAP.items()})
+    # seek_predicate works over ingest_partition/ingest_offset names
+    ev2 = ev.withColumnRenamed("event_type", "ingest_partition").withColumnRenamed(
+        "event_id", "ingest_offset"
+    )
+    out = ev2.where(pred)
+    return out.select(
+        F.col("ingest_offset").alias("event_id"), F.col("ingest_partition").alias("event_type"), "user_id"
+    )
+
+
+# ------------------------------------------------------ §2.8 interval join
+
+def interval_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (clicks["user_id"] == buys["p_user"])
+        & (buys["p_ts"] >= clicks["click_ts"])
+        & (buys["p_ts"] <= clicks["click_ts"] + F.expr("interval 30 minutes"))
+    )
+    return clicks.join(buys, cond, "inner").select("click_id", "purchase_id", "user_id")
+
+
+# ------------------------------------------------------ T6 key extraction / JsonPath
+
+def key_extraction(spark, sf_dir):
+    """Composite PK concat with '|' (IngestionFlow.scala:66-77)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", F.concat_ws("|", F.col("o_custkey"), F.col("o_orderkey")).alias("hydra_key")
+    )
+
+
+def json_key_extraction(spark, sf_dir):
+    """JsonPath key extraction (producer/JsonPathKeys.scala:1-28)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
+# ------------------------------------------------------ K5 admission / quarantine
+
+def size_limit_quarantine(spark, sf_dir):
+    """RecordTooLarge admission rule (KafkaClientAlgebra.scala:204-215)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.where(F.length("text") > 300)
+        .select(
+            "doc_id",
+            F.length("text").alias("n_len"),
+            F.concat(F.lit("RecordTooLarge:"), F.length("text").cast("string"), F.lit(">300")).alias(
+                "reject_reason"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------ headline TPC-H-style
+
+def tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def tpch_q3(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .where(F.col("revenue") > 100000)
+    )
+
+
+def nation_revenue(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )

@@ -102,7 +102,8 @@ def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 3,
-    n_bits: int = 16,
+    n_bits: int = 12,
+    radius: int = 5,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -117,8 +118,8 @@ def lsh_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), F.col("_sig").alias("_qs"), F.col("_n").alias("_qn")
     )
     c = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col("_sig").alias("_cs"), F.col("_n").alias("_cn"))
-    # candidates: hamming(sig) <= 2 (multi-probe-ish) — bounded candidate set
-    cand = c.join(F.broadcast(q), F.bit_count(F.col("_cs").bitwiseXOR(F.col("_qs"))) <= 2).where(
+    # candidates: hamming(sig) <= radius (multi-probe) — bounded candidate set
+    cand = c.join(F.broadcast(q), F.bit_count(F.col("_cs").bitwiseXOR(F.col("_qs"))) <= radius).where(
         F.col("neighbor_id") != F.col("query_id")
     )
     cos = F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6)

@@ -1,0 +1,46 @@
+"""Tier 2: vectorized decode stage vs the numpy oracle, on Spark."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hydra_spark import audio
+from hydra_spark.functions.decode import decode_features, decode_pcm, split_quarantine
+
+
+def test_decode_pcm_snr_vs_oracle(spark, clips):
+    sample = clips.limit(200)
+    pdf = decode_pcm(sample).toPandas()
+    assert len(pdf) == 200
+    for _, r in pdf.iterrows():
+        assert r.decode_error is None
+        i = int(r.clip_id.split("-")[1])
+        ref = audio.waveform(i, int(r.sr_hz), int(r.dur_ms))
+        snr = audio.snr_db(ref, np.asarray(r.pcm))
+        assert snr >= 30.0, f"{r.clip_id} ({r.codec}): SNR {snr:.1f}"
+
+
+def test_decode_features_sample_counts(spark, clips):
+    feats = decode_features(clips.limit(300)).toPandas()
+    assert (feats.decode_error.isna()).all()
+    expected = (feats.sr_hz * feats.dur_ms / 1000.0).round().astype(int)
+    assert (feats.n_samples == expected).all()
+    assert (feats.peak <= 1.0 + 1e-6).all()
+    assert "bytes" not in feats.columns  # hot path must drop the payload
+
+
+def test_bad_records_quarantined_not_fatal(spark, tmp_path):
+    """Hydra bad-record skip (KafkaClientAlgebra.scala:380-395): corrupt
+    rows produce decode_error rows, never an exception."""
+    from hydra_spark import synth
+
+    path = str(tmp_path / "bad")
+    synth.write_clips(spark, path, 500, truncate_pct=0.02, files=4)
+    df = spark.read.parquet(path)
+    decoded = decode_features(df)
+    good, quar = split_quarantine(decoded)
+    n_bad = quar.count()
+    # i % 1000 < 20 -> 20 corrupt rows in 500 (i in 0..499 -> i%1000=i -> i<20)
+    assert n_bad == 20
+    assert good.count() == 480
+    reasons = [r[0] for r in quar.select("decode_error").distinct().collect()]
+    assert all("ValueError" in x for x in reasons)

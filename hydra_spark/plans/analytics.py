@@ -188,6 +188,56 @@ def json_key_extraction(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------ T9 ISO-date conversion
+
+def iso_date_convert(spark, sf_dir):
+    """Lenient ISO parse with EPOCH fallback on failure (T9 —
+    avro/src/main/scala/hydra/avro/convert/ISODateConverter.scala:16-48).
+    Every 50th event carries an unparseable string; it must land on
+    EPOCH, not fail the query."""
+    ev = load(spark, sf_dir, "events")
+    iso = F.when(F.col("event_id") % 50 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss")
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.timestamp_seconds(F.lit(0)),  # EPOCH fallback
+    )
+    return ev.select("event_id", F.unix_micros(parsed).alias("parsed_us"))
+
+
+# ------------------------------------------------------ T4 defaults fill
+
+def defaults_fill(spark, sf_dir):
+    """Missing-field -> schema default (T4 — SimpleStringToGenericRecord
+    handleRecord fills absent fields from Avro defaults, :23-40)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        F.coalesce(k, F.lit(0)).alias("k_filled"),
+        k.isNull().cast("int").alias("was_defaulted"),
+    )
+
+
+# ------------------------------------------------------ A3 lag totals
+
+def total_lag(spark, sf_dir):
+    """Cross-partition lag totals + percentage (A3 —
+    ConsumerGroupsAlgebra.getLagOnDvsInternalCGTopic :155-184)."""
+    ev = load(spark, sf_dir, "events")
+    latest = ev.groupBy("event_type").agg(F.max("event_id").alias("latest_offset"))
+    committed = (
+        ev.where(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.max("event_id").alias("committed_offset"))
+    )
+    lag = lin.consumer_lag(latest, committed, part_col="event_type")
+    return lin.total_lag(lag).select(
+        "total_lag", "total_latest", F.round("lag_pct", 4).alias("lag_pct")
+    )
+
+
 # ------------------------------------------------------ K5 admission / quarantine
 
 def size_limit_quarantine(spark, sf_dir):

@@ -46,6 +46,9 @@ def get_spark(
         # so a decode batch stays ~10-60 MB, not 10k-row default x 60 KB.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+        # incremental (changelog) state checkpoints: upload per-batch
+        # deltas, not a full RocksDB snapshot per store per batch
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")

@@ -46,30 +46,51 @@ class ExactlyOnceSink:
         ack: str = "replicated",
         ts_col: str = "event_time",
         has_lineage_cols: bool = True,
+        strategy: str = "merge",
     ):
         assert ack in ("noack", "persisted", "replicated")
+        assert strategy in ("merge", "append_dedup")
         self.tables = tables
         self.key_cols = key_cols
         self.ack = ack
         self.ts_col = ts_col
         self.has_lineage_cols = has_lineage_cols
+        # merge = copy-on-write upsert (latest-wins, tombstones);
+        # append_dedup = insert-only keyed append (streaming fast path,
+        # commit cost stays flat as the table grows)
+        self.strategy = strategy
         self.batches_seen: list = []
+
+    def _commit(self, spark, df: DataFrame, batch_id) -> bool:
+        if self.strategy == "append_dedup":
+            return self.tables["output"].append_dedup(spark, df, batch_id)
+        return self.tables["output"].merge_upsert(spark, df, batch_id)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
-            n_in = batch_df.count()
-            if "reject_reason" in batch_df.columns:
+            has_reject = "reject_reason" in batch_df.columns
+            if has_reject:
+                # one job: total + quarantined counts together (this is
+                # also the action that materializes the cache)
+                counts = {
+                    bool(r["rej"]): r["n"]
+                    for r in batch_df.groupBy(
+                        F.col("reject_reason").isNotNull().alias("rej")
+                    ).agg(F.count("*").alias("n")).collect()
+                }
+                n_quar = counts.get(True, 0)
+                n_in = counts.get(False, 0) + n_quar
                 good = batch_df.where(F.col("reject_reason").isNull()).drop("reject_reason")
-                quar = batch_df.where(F.col("reject_reason").isNotNull())
-                n_quar = quar.count()
                 if n_quar:
+                    quar = batch_df.where(F.col("reject_reason").isNotNull())
                     qcols = [c for c in quar.columns if c not in ("bytes", "pcm")]
                     self.tables["quarantine"].append_pandas(quar.select(*qcols).toPandas(), batch_id)
             else:
                 good, n_quar = batch_df, 0
+                n_in = batch_df.count()
 
             # within-batch latest-wins on the sink key (caller may have
             # already deduped; this makes MERGE input key-unique)
@@ -80,12 +101,15 @@ class ExactlyOnceSink:
             committed = True
             if self.ack == "noack":
                 # fire-and-forget append (RecordAccepted immediately)
-                self.tables["output"].merge_upsert(spark, deduped, f"noack-{batch_id}-{time.time_ns()}")
-            elif self.ack == "persisted":
-                committed = self.tables["output"].merge_upsert(spark, deduped, batch_id)
-            else:  # replicated
-                committed = self.tables["output"].merge_upsert(spark, deduped, batch_id)
-                if committed and self.has_lineage_cols and "ingest_partition" in good.columns:
+                self._commit(spark, deduped, f"noack-{batch_id}-{time.time_ns()}")
+            else:  # persisted / replicated
+                committed = self._commit(spark, deduped, batch_id)
+                if (
+                    self.ack == "replicated"
+                    and committed
+                    and self.has_lineage_cols
+                    and "ingest_partition" in good.columns
+                ):
                     self.tables["lineage"].append_pandas(
                         lin.batch_lineage_rows(good).toPandas().assign(batch_id=batch_id), batch_id
                     )

@@ -40,6 +40,31 @@ def latest_wins_batch(
     return out
 
 
+def latest_wins_hash(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Hash-aggregation latest-wins: ``max_by(struct(*), order)`` per key.
+
+    Same result as the row_number() form but with NO sort — a hash agg
+    with map-side partial aggregation, so it scales like a groupBy
+    instead of an exchange+sort. The sink's hot path uses this; the
+    window form stays for callers that need rank semantics. NULLs in
+    order columns sort lowest (coalesced to epoch) so a tombstone never
+    beats a real row with equal keys.
+    """
+    ordk = F.struct(
+        *[F.coalesce(F.col(c).cast("timestamp"), F.timestamp_seconds(F.lit(0))).alias(f"o{i}")
+          if dict(df.dtypes)[c].startswith("timestamp")
+          else F.col(c).alias(f"o{i}")
+          for i, c in enumerate(order_cols)]
+    )
+    packed = F.struct(*[F.col(c) for c in df.columns])
+    out = df.groupBy(*key_cols).agg(F.max_by(packed, ordk).alias("_row"))
+    return out.select("_row.*")
+
+
 _STATE_SCHEMA = T.StructType(
     [T.StructField("ts_ms", T.LongType()), T.StructField("value", T.StringType())]
 )

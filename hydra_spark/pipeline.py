@@ -136,15 +136,24 @@ def start_flagship(
     files_per_trigger: int = 8,
     ack: str = "replicated",
     num_partitions: int | None = None,
+    salt: bool = False,
 ):
-    """Start the enriched-output streaming query. Returns (query, sink)."""
+    """Start the enriched-output streaming query. Returns (query, sink).
+
+    ``salt``: opt-in pre-decode salted repartition. Shuffling the encoded
+    payload costs a full pass of the audio bytes over the wire, so it
+    only pays when the SOURCE layout concentrates decode work (e.g. an
+    input table partitioned by codec). Decode cost per sample is
+    codec-independent, and codec-keyed aggregations downstream are
+    already skew-safe via map-side partial aggregation + AQE — so the
+    default pipeline decodes in place on source partitions."""
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     t = build_tables(out_root)
     audio = stream_table(spark, audio_dir, schema=_audio_schema(), files_per_trigger=files_per_trigger)
     trs = stream_table(spark, transcripts_dir, schema=_transcript_schema(), files_per_trigger=files_per_trigger)
     # decode BEFORE the stateful join — join state must hold feature
     # rows, never audio payloads (see module docstring)
-    decoded = pre_join_transform(audio, num_partitions)
+    decoded = pre_join_transform(audio, num_partitions, salt=salt)
     joined = clip_transcript_join(
         decoded, trs, lo=JOIN_LO, hi=JOIN_HI, how="left_outer",
         clip_watermark=WATERMARK, transcript_watermark=WATERMARK,

@@ -19,6 +19,30 @@ from pyspark.sql import SparkSession
 ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
 
+def _set_allocator_env() -> None:
+    """glibc malloc tunables, exported BEFORE the JVM starts so the
+    pyspark daemon and every forked worker inherit them.
+
+    The decode path streams multi-MB Arrow batches through the Python
+    workers; with default glibc behavior every batch is mmap'd on
+    allocation and munmap'd on free, so every pass re-faults gigabytes
+    of zero pages. At 32 concurrent workers the kernel zone-lock
+    contention makes page faults the dominant cost (measured: 12M
+    faults/pass, 60-80%% sys time, and local[32] SLOWER than local[8]).
+    Raising the mmap/trim thresholds keeps freed blocks on the heap for
+    reuse: measured 12M -> 1.3M faults and ~3x decode throughput at 32
+    cores. Same knobs apply per-executor on a real cluster
+    (spark.executorEnv.*)."""
+    defaults = {
+        "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+        "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+        "MALLOC_TOP_PAD_": str(1 << 26),
+        "MALLOC_ARENA_MAX": "2",
+    }
+    for k, v in defaults.items():
+        os.environ.setdefault(k, v)
+
+
 def get_spark(
     cores: int | None = None,
     app_name: str = "hydra_spark",
@@ -26,6 +50,7 @@ def get_spark(
     driver_memory: str = "48g",
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _set_allocator_env()
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -49,6 +74,9 @@ def get_spark(
         # incremental (changelog) state checkpoints: upload per-batch
         # deltas, not a full RocksDB snapshot per store per batch
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        # per-op row counting in RocksDB costs a get per put; metrics
+        # come from the listener instead
+        .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")

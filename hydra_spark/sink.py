@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from hydra_spark import lineage as lin
-from hydra_spark.operators.state import latest_wins_batch
+from hydra_spark.operators.state import latest_wins_hash
 
 
 class ExactlyOnceSink:
@@ -67,36 +67,38 @@ class ExactlyOnceSink:
         return self.tables["output"].merge_upsert(spark, df, batch_id)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         t0 = time.time()
         spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
+        has_reject = "reject_reason" in batch_df.columns
+        # observe() rides the write job itself — admission/quarantine
+        # counting adds ZERO extra Spark jobs (the write is the one
+        # action that materializes the persisted batch)
+        obs = Observation(f"sink-{batch_id}")
+        batch_df = batch_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            (
+                F.sum(F.col("reject_reason").isNotNull().cast("long")).alias("n_quar")
+                if has_reject
+                else F.lit(0).alias("n_quar")
+            ),
+        ).persist()
         try:
-            has_reject = "reject_reason" in batch_df.columns
-            if has_reject:
-                # one job: total + quarantined counts together (this is
-                # also the action that materializes the cache)
-                counts = {
-                    bool(r["rej"]): r["n"]
-                    for r in batch_df.groupBy(
-                        F.col("reject_reason").isNotNull().alias("rej")
-                    ).agg(F.count("*").alias("n")).collect()
-                }
-                n_quar = counts.get(True, 0)
-                n_in = counts.get(False, 0) + n_quar
-                good = batch_df.where(F.col("reject_reason").isNull()).drop("reject_reason")
-                if n_quar:
-                    quar = batch_df.where(F.col("reject_reason").isNotNull())
-                    qcols = [c for c in quar.columns if c not in ("bytes", "pcm")]
-                    self.tables["quarantine"].append_pandas(quar.select(*qcols).toPandas(), batch_id)
-            else:
-                good, n_quar = batch_df, 0
-                n_in = batch_df.count()
+            good = (
+                batch_df.where(F.col("reject_reason").isNull()).drop("reject_reason")
+                if has_reject
+                else batch_df
+            )
 
             # within-batch latest-wins on the sink key (caller may have
-            # already deduped; this makes MERGE input key-unique)
-            deduped = latest_wins_batch(
-                good, self.key_cols, ts_col=self.ts_col, drop_tombstones=False, value_col=self.key_cols[0]
+            # already deduped; this makes MERGE input key-unique).
+            # hash-agg (max_by), not window sort — see latest_wins_hash
+            order_cols = [self.ts_col] + (
+                ["transcript_time"] if "transcript_time" in good.columns else []
             )
+            deduped = latest_wins_hash(good, self.key_cols, order_cols)
 
             committed = True
             if self.ack == "noack":
@@ -104,15 +106,30 @@ class ExactlyOnceSink:
                 self._commit(spark, deduped, f"noack-{batch_id}-{time.time_ns()}")
             else:  # persisted / replicated
                 committed = self._commit(spark, deduped, batch_id)
-                if (
-                    self.ack == "replicated"
-                    and committed
-                    and self.has_lineage_cols
-                    and "ingest_partition" in good.columns
-                ):
-                    self.tables["lineage"].append_pandas(
-                        lin.batch_lineage_rows(good).toPandas().assign(batch_id=batch_id), batch_id
-                    )
+
+            if not committed:
+                # replayed batch: the table commit is a no-op, but the
+                # micro-batch's state stores (join state, watermarks)
+                # still must process and commit every partition — drain
+                # the batch through a noop write or Spark's state-store
+                # commit validation fails the query on resume
+                batch_df.write.format("noop").mode("overwrite").save()
+
+            got = obs.get if committed else {"n_in": 0, "n_quar": 0}
+            n_in, n_quar = int(got["n_in"] or 0), int(got["n_quar"] or 0)
+            if n_quar:
+                quar = batch_df.where(F.col("reject_reason").isNotNull())
+                qcols = [c for c in quar.columns if c not in ("bytes", "pcm")]
+                self.tables["quarantine"].append_pandas(quar.select(*qcols).toPandas(), batch_id)
+            if (
+                self.ack == "replicated"
+                and committed
+                and self.has_lineage_cols
+                and "ingest_partition" in good.columns
+            ):
+                self.tables["lineage"].append_pandas(
+                    lin.batch_lineage_rows(good).toPandas().assign(batch_id=batch_id), batch_id
+                )
 
             if committed:
                 mrow = pd.DataFrame(

@@ -192,7 +192,10 @@ def split_streams(
     """
     clips = spark.read.parquet(clips_dir)
     aud = clips.drop("transcript")
-    aud.repartition(files, "ingest_partition").write.mode("overwrite").parquet(audio_dir)
+    # round-robin into exactly `files` even files — file count bounds the
+    # scan+decode task parallelism of the streaming source (one task per
+    # file), so it must comfortably exceed the executor core count
+    aud.repartition(files).write.mode("overwrite").parquet(audio_dir)
 
     h = F.abs(F.hash("clip_id"))
     delay_s = (
@@ -208,7 +211,7 @@ def split_streams(
             (F.col("event_time") + F.make_dt_interval(secs=delay_s.cast("double"))).alias("event_time"),
         )
     )
-    tr.repartition(files, F.abs(F.hash("clip_id")) % files).write.mode("overwrite").parquet(transcripts_dir)
+    tr.repartition(files).write.mode("overwrite").parquet(transcripts_dir)
     return audio_dir, transcripts_dir
 
 
@@ -225,8 +228,17 @@ def ensure_dataset(
         "audio": os.path.join(root, f"clips_audio_n{n}"),
         "transcripts": os.path.join(root, f"transcripts_n{n}"),
     }
-    if not os.path.exists(os.path.join(paths["clips"], "_SUCCESS")):
+    have_clips = os.path.exists(os.path.join(paths["clips"], "_SUCCESS"))
+    have_streams = os.path.exists(os.path.join(paths["transcripts"], "_SUCCESS"))
+    if with_streams and have_streams:
+        # split streams already exist — the intermediate clips table may
+        # have been deleted to reclaim disk; nothing to do
+        return paths
+    if not have_clips:
         write_clips(spark, paths["clips"], n, seed)
-    if with_streams and not os.path.exists(os.path.join(paths["transcripts"], "_SUCCESS")):
-        split_streams(spark, paths["clips"], paths["audio"], paths["transcripts"], seed)
+    if with_streams and not have_streams:
+        # file count bounds streaming scan/decode parallelism (one task
+        # per file) — scale with n, cap at 128
+        files = max(8, min(128, n // 2000))
+        split_streams(spark, paths["clips"], paths["audio"], paths["transcripts"], seed, files=files)
     return paths

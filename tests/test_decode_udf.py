@@ -44,3 +44,21 @@ def test_bad_records_quarantined_not_fatal(spark, tmp_path):
     assert good.count() == 480
     reasons = [r[0] for r in quar.select("decode_error").distinct().collect()]
     assert all("ValueError" in x for x in reasons)
+
+
+def test_vectorized_features_match_per_row_oracle(spark, clips):
+    """The zero-copy Arrow decode (LUT + reduceat) must agree with a
+    per-row float64 oracle on rms/peak to near machine precision."""
+    sample = clips.limit(150)
+    feats = decode_features(sample).toPandas().set_index("clip_id")
+    src = sample.select("clip_id", "bytes", "codec").toPandas()
+    for _, r in src.iterrows():
+        x = audio.decode(bytes(r["bytes"]), r["codec"])
+        got = feats.loc[r["clip_id"]]
+        assert int(got.n_samples) == len(x)
+        if len(x) == 0:
+            continue
+        p = float(np.sum(np.square(x, dtype=np.float64))) / len(x)
+        rms = 10.0 * np.log10(p) if p > 0 else -np.inf
+        assert abs(got.rms_db - rms) < 1e-9, r["clip_id"]
+        assert abs(got.peak - float(np.max(np.abs(x)))) < 1e-9

@@ -18,8 +18,18 @@ zip -qr "$ZIP" hydra_spark -x '*__pycache__*'
 
 CORES=$(echo "$MASTER" | grep -oE '[0-9]+' | head -1 || echo 32)
 
+# allocator tunables for the Python decode workers (see
+# hydra_spark/session.py:_set_allocator_env) — exported for local mode,
+# spark.executorEnv.* for cluster executors
+export MALLOC_MMAP_THRESHOLD_=1073741824 MALLOC_TRIM_THRESHOLD_=1073741824
+export MALLOC_TOP_PAD_=67108864 MALLOC_ARENA_MAX=2
+
 exec spark-submit \
   --master "$MASTER" \
+  --conf spark.executorEnv.MALLOC_MMAP_THRESHOLD_=1073741824 \
+  --conf spark.executorEnv.MALLOC_TRIM_THRESHOLD_=1073741824 \
+  --conf spark.executorEnv.MALLOC_TOP_PAD_=67108864 \
+  --conf spark.executorEnv.MALLOC_ARENA_MAX=2 \
   --py-files "$ZIP" \
   --conf spark.sql.shuffle.partitions="${CORES}" \
   --conf spark.sql.adaptive.enabled=true \

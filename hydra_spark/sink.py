@@ -31,7 +31,6 @@ import time
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from hydra_spark import lineage as lin
 from hydra_spark.operators.state import latest_wins_hash
 
 
@@ -47,6 +46,7 @@ class ExactlyOnceSink:
         ts_col: str = "event_time",
         has_lineage_cols: bool = True,
         strategy: str = "merge",
+        lineage_partitions: int = 32,
     ):
         assert ack in ("noack", "persisted", "replicated")
         assert strategy in ("merge", "append_dedup")
@@ -59,6 +59,11 @@ class ExactlyOnceSink:
         # append_dedup = insert-only keyed append (streaming fast path,
         # commit cost stays flat as the table grows)
         self.strategy = strategy
+        # ingest partitions are 0..lineage_partitions-1 (synth layout);
+        # lineage aggregates ride the write job as per-partition
+        # conditional observe() metrics — ids outside the range would
+        # not be tracked
+        self.lineage_partitions = lineage_partitions
         self.batches_seen: list = []
 
     def _commit(self, spark, df: DataFrame, batch_id) -> bool:
@@ -72,9 +77,12 @@ class ExactlyOnceSink:
         t0 = time.time()
         spark = batch_df.sparkSession
         has_reject = "reject_reason" in batch_df.columns
-        # observe() rides the write job itself — admission/quarantine
-        # counting adds ZERO extra Spark jobs (the write is the one
-        # action that materializes the persisted batch)
+        # Single-action design: the table write is the ONE Spark job per
+        # micro-batch. Row counts AND per-partition offset lineage ride
+        # that job as observe() metrics — no persist(), no cache
+        # materialization, no extra passes. (Quarantine extraction, the
+        # rare path, recomputes; state-store versions make re-execution
+        # of a micro-batch plan safe.)
         obs = Observation(f"sink-{batch_id}")
         batch_df = batch_df.observe(
             obs,
@@ -84,22 +92,44 @@ class ExactlyOnceSink:
                 if has_reject
                 else F.lit(0).alias("n_quar")
             ),
-        ).persist()
+        )
+        good = (
+            batch_df.where(F.col("reject_reason").isNull()).drop("reject_reason")
+            if has_reject
+            else batch_df
+        )
+
+        track_lineage = (
+            self.ack == "replicated"
+            and self.has_lineage_cols
+            and "ingest_partition" in good.columns
+        )
+        lin_obs = None
+        if track_lineage:
+            lin_obs = Observation(f"lineage-{batch_id}")
+            aggs = []
+            for p in range(self.lineage_partitions):
+                off = F.when(F.col("ingest_partition") == p, F.col("ingest_offset"))
+                aggs += [
+                    F.min(off).alias(f"lo{p}"),
+                    F.max(off).alias(f"hi{p}"),
+                    F.count(off).alias(f"n{p}"),
+                ]
+            good = good.observe(lin_obs, *aggs)
+
+        # within-batch latest-wins on the sink key (caller may have
+        # already deduped; this makes MERGE input key-unique).
+        # hash-agg (max_by), not window sort — see latest_wins_hash
+        order_cols = [self.ts_col] + (
+            ["transcript_time"] if "transcript_time" in good.columns else []
+        )
+        deduped = latest_wins_hash(good, self.key_cols, order_cols)
+        if self.strategy == "merge":
+            # merge_upsert runs two actions (bucket discovery + write);
+            # cache the deduped input so upstream runs once
+            deduped = deduped.persist()
+
         try:
-            good = (
-                batch_df.where(F.col("reject_reason").isNull()).drop("reject_reason")
-                if has_reject
-                else batch_df
-            )
-
-            # within-batch latest-wins on the sink key (caller may have
-            # already deduped; this makes MERGE input key-unique).
-            # hash-agg (max_by), not window sort — see latest_wins_hash
-            order_cols = [self.ts_col] + (
-                ["transcript_time"] if "transcript_time" in good.columns else []
-            )
-            deduped = latest_wins_hash(good, self.key_cols, order_cols)
-
             committed = True
             if self.ack == "noack":
                 # fire-and-forget append (RecordAccepted immediately)
@@ -117,19 +147,14 @@ class ExactlyOnceSink:
 
             got = obs.get if committed else {"n_in": 0, "n_quar": 0}
             n_in, n_quar = int(got["n_in"] or 0), int(got["n_quar"] or 0)
-            if n_quar:
+            if n_quar and committed:
                 quar = batch_df.where(F.col("reject_reason").isNotNull())
                 qcols = [c for c in quar.columns if c not in ("bytes", "pcm")]
                 self.tables["quarantine"].append_pandas(quar.select(*qcols).toPandas(), batch_id)
-            if (
-                self.ack == "replicated"
-                and committed
-                and self.has_lineage_cols
-                and "ingest_partition" in good.columns
-            ):
-                self.tables["lineage"].append_pandas(
-                    lin.batch_lineage_rows(good).toPandas().assign(batch_id=batch_id), batch_id
-                )
+            if track_lineage and committed:
+                lrows = self._lineage_rows(lin_obs.get, batch_id)
+                if len(lrows):
+                    self.tables["lineage"].append_pandas(lrows, batch_id)
 
             if committed:
                 mrow = pd.DataFrame(
@@ -147,4 +172,24 @@ class ExactlyOnceSink:
                 self.tables["metrics"].append_pandas(mrow, batch_id)
             self.batches_seen.append(batch_id)
         finally:
-            batch_df.unpersist()
+            if self.strategy == "merge":
+                deduped.unpersist()
+
+    def _lineage_rows(self, got: dict, batch_id) -> pd.DataFrame:
+        """observe() metrics -> (partition, start, end, rows) lineage rows
+        (Hydra's per-partition offset checkpoint records,
+        ConsumerGroupsOffsetConsumer.processRecord :103-145)."""
+        rows = []
+        for p in range(self.lineage_partitions):
+            n = int(got.get(f"n{p}") or 0)
+            if n:
+                rows.append(
+                    {
+                        "ingest_partition": p,
+                        "start_offset": int(got[f"lo{p}"]),
+                        "end_offset": int(got[f"hi{p}"]),
+                        "rows": n,
+                        "batch_id": batch_id,
+                    }
+                )
+        return pd.DataFrame(rows)

@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_extraction": A.json_key_extraction,
         # K5 admission
         "size_limit_quarantine": A.size_limit_quarantine,
+        # §2.9 correlation ids / T10 schema inference
+        "correlation_ids": A.correlation_ids,
+        "json_schema_infer": A.json_schema_infer,
         # headline joins/aggs
         "tpch_q1": A.tpch_q1,
         "tpch_q3": A.tpch_q3,
@@ -283,6 +286,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_len,
                    'RecordTooLarge:' || length(text) || '>300' AS reject_reason
             FROM documents WHERE length(text) > 300
+        """,
+        "correlation_ids": """
+            SELECT event_id, to_base(event_id, 36) AS corr_id FROM events
+        """,
+        "json_schema_infer": """
+            SELECT event_type,
+                   array_to_string(list_sort(list_distinct(flatten(list(json_keys(props))))), ',') AS fields
+            FROM events GROUP BY 1
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,

@@ -238,6 +238,39 @@ def total_lag(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------ T10 schema inference
+
+def json_schema_infer(spark, sf_dir):
+    """Schema discovery from JSON payloads (T10 — Hydra's
+    AvroSchemaGenerator infers an Avro schema from a JSON doc;
+    Spark-first analog: per-stream key-set discovery, JVM-side
+    json_object_keys + set aggregation)."""
+    ev = load(spark, sf_dir, "events")
+    keys = F.json_object_keys("props").alias("ks")
+    return (
+        ev.select("event_type", keys)
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("ks")))), ","
+            ).alias("fields")
+        )
+    )
+
+
+# ------------------------------------------------------ §2.9 correlation ids
+
+def correlation_ids(spark, sf_dir):
+    """Compact per-record correlation ids (Hydra Base62 correlation-id
+    builder, common/src/main/scala/hydra/common/util/Base62.scala +
+    CorrelationIdBuilder.scala:7-13; base-36 here = the largest radix
+    Spark's conv and ANSI to_base share, JVM-side/codegen)."""
+    from hydra_spark.functions.ids import correlation_id_col
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", correlation_id_col("event_id").alias("corr_id"))
+
+
 # ------------------------------------------------------ K5 admission / quarantine
 
 def size_limit_quarantine(spark, sf_dir):

@@ -1,0 +1,122 @@
+"""Streaming-state operators: latest-wins keyed state (applyInPandasWithState,
+Hydra's compacted-topic cache A1/S6) and the windowed rollup query.
+
+Reference semantics: ConsumerGroupsAlgebra.consumeDVSConsumersTopicIntoCache
+(:254-275) — newest value per key, tombstone removes; StreamsManagerActor
+metadata cache (:78-89).
+"""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from hydra_spark.operators.state import latest_wins_batch, latest_wins_stream
+
+
+@pytest.fixture()
+def kv_stream_dir(spark, tmp_path):
+    """Two files of keyed updates, later file wins; k2's last update is a
+    tombstone (None value)."""
+    schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("transcript", T.StringType()),
+    ])
+    d = str(tmp_path / "kv")
+    from datetime import datetime
+
+    rows1 = [("k1", datetime(2025, 1, 1, 0, 0, 0), "v1a"),
+             ("k2", datetime(2025, 1, 1, 0, 0, 1), "v2a"),
+             ("k3", datetime(2025, 1, 1, 0, 0, 2), "v3a")]
+    rows2 = [("k1", datetime(2025, 1, 1, 0, 1, 0), "v1b"),
+             ("k2", datetime(2025, 1, 1, 0, 1, 1), None)]  # tombstone
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_latest_wins_stream_emits_latest_and_tombstones(spark, kv_stream_dir, tmp_path):
+    src = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(kv_stream_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(kv_stream_dir)
+    )
+    out = latest_wins_stream(src)
+    emitted = []
+
+    def collect(bdf, bid):
+        emitted.extend(bdf.toPandas().to_dict("records"))
+
+    q = (
+        out.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # reduce the emitted change-log to final state per key
+    final = {}
+    for r in emitted:
+        final[r["clip_id"]] = r
+    assert final["k1"]["transcript"] == "v1b" and not final["k1"]["deleted"]
+    assert final["k2"]["deleted"] is True or final["k2"]["transcript"] is None
+    assert final["k3"]["transcript"] == "v3a" and not final["k3"]["deleted"]
+
+
+def test_latest_wins_stream_matches_batch_form(spark, kv_stream_dir):
+    """Streaming state reduction must agree with the batch row_number form."""
+    df = spark.read.parquet(kv_stream_dir)
+    batch = latest_wins_batch(df, ["clip_id"], ts_col="event_time",
+                              value_col="transcript", drop_tombstones=True)
+    got = {r["clip_id"]: r["transcript"] for r in batch.collect()}
+    assert got == {"k1": "v1b", "k3": "v3a"}
+
+
+def test_window_rollup_stream_matches_batch(spark, dataset, tmp_path):
+    from hydra_spark import pipeline
+    from hydra_spark.functions.decode import decode_features
+    from hydra_spark.operators import windows as win
+    from tests.conftest import flush_sentinels
+
+    aud = str(tmp_path / "aud")
+    shutil.copytree(dataset["audio"], aud)
+    out_root = str(tmp_path / "roll")
+    q, rollup_tbl = pipeline.start_window_rollup(spark, aud, out_root, files_per_trigger=16)
+    q.processAllAvailable()
+    # sentinels push the watermark past all real windows (audio side only)
+    flush_sentinels(spark, aud, str(tmp_path / "ignored_trs"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        rollup_tbl.read(spark)
+        .where(F.col("window_start") < F.lit("2025-01-01 12:00:00").cast("timestamp"))
+        .select("window_start", "codec", "n_clips", "total_samples")
+    )
+    real = spark.read.parquet(dataset["audio"])
+    expected = win.tumbling(
+        decode_features(real).where(F.col("decode_error").isNull()),
+        pipeline.WINDOW_SIZE, "codec",
+        aggs=[F.count("*").alias("n_clips"), F.sum("n_samples").alias("total_samples")],
+    ).select("window_start", "codec", "n_clips", "total_samples")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_base62_roundtrip_and_conv_parity(spark):
+    from hydra_spark.functions.ids import base62, base62_decode, correlation_id_col
+
+    for n in [0, 1, 61, 62, 12345, 10**12]:
+        assert base62_decode(base62(n)) == n
+    assert base62(0) == "0" and base62(61) == "z" and base62(62) == "10"
+    df = spark.range(100).select(
+        "id", correlation_id_col("id").alias("corr")
+    )
+    rows = {r["id"]: r["corr"] for r in df.collect()}
+    assert rows[35] == "Z" and rows[36] == "10"

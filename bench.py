@@ -83,6 +83,9 @@ def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as E
 
     qs = E.queries()
+    # one-time JVM/codegen/scan warmup so the first query's number is the
+    # query, not session spin-up
+    _force(spark.read.parquet(f"{SF_DIR}/events.parquet").limit(1000))
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": emb(lambda e: S.cosine_topk(e, list(range(25)), k=3)),
         "embedding_cosine_dup": emb(lambda e: S.cosine_pairs(e, threshold=0.4)),
         "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
+        "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
         # training-data: text analysis
         "lang_id": docs(X.lang_id),
         "quality_score": docs(X.quality_score),

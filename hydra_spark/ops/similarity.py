@@ -76,6 +76,82 @@ def cosine_pairs(
     return j.select("v1", "v2", cos.alias("cosine")).where(F.col("cosine") >= threshold)
 
 
+# ---------------------------------------------------------------- IVF path
+
+def _ivf_centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
+    """Deterministic spherical centroids (seeded gaussian, L2-normalized).
+
+    A trained k-means codebook drops in here unchanged (same shape); the
+    seeded variant keeps the engine dependency-free and every run/test
+    reproducible — the partitioning math downstream is identical."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _assign_udf(centroids: np.ndarray, n_probe: int):
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append([])
+                continue
+            sims = centroids @ np.asarray(v, dtype=np.float64)
+            out.append(np.argsort(-sims)[:n_probe].astype(np.int32))
+        return pd.Series(out)
+
+    return assign
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k via inverted-file partitioning (the IVF scale path).
+
+    Corpus vectors are assigned to their nearest centroid list (1 list
+    each); queries probe their ``n_probe`` nearest lists; exact cosine
+    re-ranks only the probed lists' vectors. At web scale the corpus is
+    written PARTITIONED BY list_id, so a query reads n_probe/n_lists of
+    the data — partition pruning does the candidate selection. Recall<1
+    by construction — tested against the exact baseline, not an oracle.
+    """
+    centroids = _ivf_centroids(dim, n_lists, seed)
+    corpus_assign = _assign_udf(centroids, 1)
+    query_assign = _assign_udf(centroids, n_probe)
+
+    base = emb.select(F.col(id_col), F.col(vec_col), _norm_col(vec_col).alias("_n"))
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_n").alias("_cn"),
+        F.explode(corpus_assign(F.col(vec_col))).alias("list_id"),
+    )
+    q = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_n").alias("_qn"),
+        F.explode(query_assign(F.col(vec_col))).alias("list_id"),
+    )
+    cand = c.join(F.broadcast(q), "list_id").where(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine")).distinct()
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------- LSH path
 
 def _hyperplane_udf(dim: int, n_bits: int, seed: int):

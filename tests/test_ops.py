@@ -84,3 +84,22 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
     media = docs_as_media(docs.limit(2))
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         extract_features(media, fake=False).collect()
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, emb):
+    from hydra_spark.ops.similarity import cosine_topk, ivf_topk
+
+    qids = list(range(25))
+    exact = cosine_topk(emb, qids, k=3).collect()
+    approx = ivf_topk(emb, qids, k=3, n_lists=16, n_probe=6).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # near-random vectors are the hardest case for IVF; probing 6/16
+    # lists must still beat random chance by a wide margin
+    assert recall >= 0.5, f"IVF recall@3 {recall:.2f}"
+    # every reported cosine must be exact (re-ranking is exact math)
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9

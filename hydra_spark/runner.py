@@ -38,10 +38,20 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 
 class ProgressListener(StreamingQueryListener):
-    """Appends one JSON line per micro-batch to <out>/_progress.jsonl."""
+    """Appends one JSON line per micro-batch to <out>/_progress.jsonl.
 
-    def __init__(self, path: str):
+    ``batch_timeout_ms`` is the ingestion-timeout analog (Hydra marks
+    ingestors that miss the deadline IngestorTimeout and reports 408,
+    IngestionSupervisor.scala:98-120; default 500 ms at
+    ingest/src/main/resources/reference.conf:10-11): batches exceeding
+    it are flagged ``timed_out`` in the progress feed so an operator
+    alarm can key on it — the stream itself is never failed for it.
+    """
+
+    def __init__(self, path: str, batch_timeout_ms: int | None = None):
         self.path = path
+        self.batch_timeout_ms = batch_timeout_ms
+        self.timeouts = 0
         os.makedirs(os.path.dirname(path), exist_ok=True)
 
     def onQueryStarted(self, event):
@@ -49,6 +59,11 @@ class ProgressListener(StreamingQueryListener):
 
     def onQueryProgress(self, event):
         p = event.progress
+        timed_out = (
+            self.batch_timeout_ms is not None and p.batchDuration > self.batch_timeout_ms
+        )
+        if timed_out:
+            self.timeouts += 1
         self._emit(
             {
                 "event": "progress",
@@ -57,6 +72,7 @@ class ProgressListener(StreamingQueryListener):
                 "input_rows_per_sec": p.inputRowsPerSecond,
                 "processed_rows_per_sec": p.processedRowsPerSecond,
                 "batch_duration_ms": p.batchDuration,
+                "timed_out": timed_out,
                 "watermark": p.eventTime.get("watermark") if p.eventTime else None,
                 "state_rows": sum(s.numRowsTotal for s in p.stateOperators) if p.stateOperators else 0,
             }
@@ -122,6 +138,10 @@ def main(argv=None) -> int:
     ap.add_argument("--bounded", action="store_true", help="replay to end, then exit")
     ap.add_argument("--max-restarts", type=int, default=-1)
     ap.add_argument("--rollup", action="store_true", help="also run the window rollup query")
+    ap.add_argument(
+        "--batch-timeout-ms", type=int, default=None,
+        help="flag batches slower than this in the progress feed (Hydra ingest-timeout analog)",
+    )
     args = ap.parse_args(argv)
 
     # under spark-submit the session config (master, memory, shuffle
@@ -132,7 +152,11 @@ def main(argv=None) -> int:
 
     from hydra_spark import pipeline
 
-    spark.streams.addListener(ProgressListener(os.path.join(args.out, "_progress.jsonl")))
+    spark.streams.addListener(
+        ProgressListener(
+            os.path.join(args.out, "_progress.jsonl"), batch_timeout_ms=args.batch_timeout_ms
+        )
+    )
 
     queries = []
 

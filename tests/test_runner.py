@@ -96,3 +96,25 @@ def test_spark_submit_py_files(dataset, tmp_path):
     assert any(p["event"] == "progress" and p["num_input_rows"] > 0 for p in progress)
     # per-partition lineage rows written by the same commits
     assert os.path.isdir(os.path.join(out, "_lineage"))
+
+
+def test_progress_listener_batch_timeout_flag(tmp_path):
+    """R3 ingest-timeout analog: slow batches are flagged, never fatal."""
+
+    class P:  # minimal progress stub
+        batchId = 1
+        numInputRows = 10
+        inputRowsPerSecond = 1.0
+        processedRowsPerSecond = 1.0
+        batchDuration = 750
+        eventTime = {}
+        stateOperators = []
+
+    class E:
+        progress = P()
+
+    lis = ProgressListener(str(tmp_path / "p" / "_progress.jsonl"), batch_timeout_ms=500)
+    lis.onQueryProgress(E())
+    line = json.loads(open(lis.path).read().splitlines()[0])
+    assert line["timed_out"] is True
+    assert lis.timeouts == 1

@@ -120,3 +120,80 @@ def test_base62_roundtrip_and_conv_parity(spark):
     )
     rows = {r["id"]: r["corr"] for r in df.collect()}
     assert rows[35] == "Z" and rows[36] == "10"
+
+
+@pytest.fixture()
+def ts_stream_dir(spark, tmp_path):
+    """Small deterministic (user_id, event_time, value) stream: two
+    files, plus a far-future sentinel that flushes the watermark."""
+    from datetime import datetime, timedelta
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    base = datetime(2025, 1, 1)
+    rows1 = [(u, base + timedelta(seconds=7 * i + u), float(i)) for u in (1, 2) for i in range(20)]
+    rows2 = [(u, base + timedelta(seconds=200 + 11 * i + u), float(i)) for u in (1, 3) for i in range(15)]
+    d = str(tmp_path / "ts")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
+    # sentinel rounds: watermark advances end-of-batch; emission next batch
+    for r in range(2):
+        spark.createDataFrame(
+            [(99, base + timedelta(days=1, minutes=10 * r), 0.0)], schema
+        ).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def _run_stream_agg(spark, src_dir, tmp_path, build):
+    src = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    rows = []
+    q = (
+        build(src).writeStream
+        .foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return rows
+
+
+def test_sliding_window_streaming_matches_batch(spark, ts_stream_dir, tmp_path):
+    from hydra_spark.operators import windows as win
+
+    def build(df):
+        return win.sliding(df, "30 seconds", "10 seconds", "user_id",
+                           aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s")],
+                           watermark="30 seconds")
+
+    got = {(r.user_id, r.window_start, r.n, r.s)
+           for r in _run_stream_agg(spark, ts_stream_dir, tmp_path, build)
+           if r.user_id != 99}
+    batch = spark.read.parquet(ts_stream_dir).where(F.col("user_id") != 99)
+    expected = {(r.user_id, r.window_start, r.n, r.s) for r in build(batch).collect()}
+    assert got == expected
+
+
+def test_session_window_streaming_matches_batch(spark, ts_stream_dir, tmp_path):
+    from hydra_spark.operators import windows as win
+
+    def build(df):
+        return win.session(df, "25 seconds", "user_id",
+                           aggs=[F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s")],
+                           watermark="30 seconds")
+
+    got = {(r.user_id, r.window_start, r.window_end, r.n, r.s)
+           for r in _run_stream_agg(spark, ts_stream_dir, tmp_path, build)
+           if r.user_id != 99}
+    batch = spark.read.parquet(ts_stream_dir).where(F.col("user_id") != 99)
+    expected = {(r.user_id, r.window_start, r.window_end, r.n, r.s) for r in build(batch).collect()}
+    assert got == expected

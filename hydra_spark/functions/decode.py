@@ -103,6 +103,18 @@ def decode_features(df: DataFrame) -> DataFrame:
         for rb in batches:
             n = rb.num_rows
             names = rb.schema.names
+            if n == 0:  # empty batch: no offsets/data buffers to view
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(names.index(k)) for k in keep_names]
+                    + [
+                        pa.array([], type=pa.int32()),
+                        pa.array([], type=pa.float64()),
+                        pa.array([], type=pa.float64()),
+                        pa.array([], type=pa.string()),
+                    ],
+                    names=keep_names + [f.name for f in FEATURE_FIELDS],
+                )
+                continue
             barr = rb.column(names.index("bytes"))
             codec = np.asarray(rb.column(names.index("codec")).to_pylist(), dtype=object)
 

@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "defaults_fill": A.defaults_fill,
         # §2.8 stream-stream interval join (batch form)
         "interval_join": A.interval_join,
+        # CEP sequence detection (batch form of the stateful detector)
+        "cep_sequence": A.cep_sequence,
         # T6 key extraction / JsonPath
         "key_extraction": A.key_extraction,
         "json_key_extraction": A.json_key_extraction,
@@ -273,6 +275,19 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = c.user_id
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "cep_sequence": """
+            WITH o AS (
+              SELECT user_id, ts, event_type,
+                     lead(event_type, 1) OVER w AS l1,
+                     lead(event_type, 2) OVER w AS l2,
+                     lead(ts, 2) OVER w AS ts2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, epoch_us(ts) AS seq_start_us, epoch_us(ts2) AS seq_end_us
+            FROM o
+            WHERE event_type = 'click' AND l1 = 'click' AND l2 = 'purchase'
+              AND ts2 <= ts + INTERVAL 4 HOUR
         """,
         "key_extraction": """
             SELECT o_orderkey, o_custkey || '|' || o_orderkey AS hydra_key FROM orders

@@ -1,0 +1,135 @@
+"""CEP pattern detection — ordered event-sequence matching per key.
+
+The north-star frames this engine as a Structured Streaming *CEP*
+engine; windows/joins/latest-wins cover the aggregation side, this
+operator covers pattern matching proper: detect an ordered sequence of
+event labels per key completing within a time budget (e.g. two clicks
+then a purchase inside 30 minutes; N decode failures inside a minute).
+
+Two forms sharing one contract:
+  * ``sequence_matches_batch`` — lead() window functions, pure
+    declarative (Catalyst: one shuffle on the key, whole-stage codegen);
+    this is also the DuckDB-oracle-checkable form.
+  * ``sequence_matches_stream`` — ``applyInPandasWithState``: per-key
+    state holds the last ``len(pattern)-1`` (ts, label) events; each
+    arriving event either extends or restarts partial matches. Events
+    are processed in event-time order within each micro-batch; matches
+    are emitted exactly when the final label arrives.
+
+Hydra has no CEP (SURVEY.md §2.8) — this is north-rule surface built
+directly on Spark primitives.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def sequence_matches_batch(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    ts_col: str,
+    pattern: list[str],
+    within_seconds: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """All per-key occurrences of `pattern` over consecutive events
+    (event-time order; ties broken by ``tiebreak_col`` if given, else
+    the label) completing within `within_seconds`.
+
+    Output: (key, seq_start, seq_end) — one row per match, where the
+    match is over CONSECUTIVE events of that key.
+    """
+    n = len(pattern)
+    order = [F.col(ts_col), F.col(tiebreak_col or label_col)]
+    w = W.partitionBy(key_col).orderBy(*order)
+    out = df
+    cond = F.lit(True)
+    for i, lab in enumerate(pattern):
+        cond = cond & (F.lead(label_col, i).over(w) == lab)
+    end_ts = F.lead(ts_col, n - 1).over(w)
+    cond = cond & (
+        end_ts <= F.col(ts_col) + F.make_dt_interval(secs=F.lit(float(within_seconds)))
+    )
+    return (
+        out.withColumn("_m", cond)
+        .withColumn("_end", end_ts)
+        .where(F.col("_m"))
+        .select(
+            F.col(key_col),
+            F.col(ts_col).alias("seq_start"),
+            F.col("_end").alias("seq_end"),
+        )
+    )
+
+
+def sequence_matches_stream(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    ts_col: str,
+    pattern: list[str],
+    within_seconds: int,
+    watermark: str = "60 seconds",
+) -> DataFrame:
+    """Streaming form: per-key rolling buffer of the trailing
+    ``len(pattern)`` events; emits a match when a buffer suffix equals
+    the pattern within the time budget. Assumes per-key event-time order
+    across batches (guaranteed by per-key-partitioned sources; within a
+    batch we sort)."""
+    n = len(pattern)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("seq_start", T.TimestampType()),
+            T.StructField("seq_end", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_ms", T.ArrayType(T.LongType())),
+            T.StructField("labels", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        ts_buf, lab_buf = state.get if state.exists else ([], [])
+        ts_buf, lab_buf = list(ts_buf), list(lab_buf)
+        matches = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, label_col])
+            for ts, lab in zip(pdf[ts_col], pdf[label_col]):
+                ts_ms = int(ts.value // 10**6)
+                ts_buf.append(ts_ms)
+                lab_buf.append(str(lab))
+                if len(ts_buf) > n:
+                    ts_buf, lab_buf = ts_buf[-n:], lab_buf[-n:]
+                if (
+                    len(lab_buf) == n
+                    and lab_buf == pattern
+                    and ts_buf[-1] - ts_buf[0] <= within_seconds * 1000
+                ):
+                    matches.append((ts_buf[0], ts_buf[-1]))
+        state.update((ts_buf, lab_buf))
+        if matches:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(matches),
+                    "seq_start": [pd.Timestamp(a, unit="ms") for a, _ in matches],
+                    "seq_end": [pd.Timestamp(b, unit="ms") for _, b in matches],
+                }
+            )
+
+    g = (
+        df.withWatermark(ts_col, watermark).groupBy(key_col)
+        if df.isStreaming
+        else df.groupBy(key_col)
+    )
+    return g.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

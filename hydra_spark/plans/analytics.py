@@ -238,6 +238,24 @@ def total_lag(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------ CEP sequence detection
+
+def cep_sequence(spark, sf_dir):
+    """CEP pattern match: per user, two consecutive clicks followed by a
+    purchase, all within 4 hours (operators/cep.py — the batch form of
+    the applyInPandasWithState sequence detector)."""
+    from hydra_spark.operators.cep import sequence_matches_batch
+
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sequence_matches_batch(
+        ev, "user_id", "event_type", "ts",
+        ["click", "click", "purchase"], within_seconds=14400, tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", _us(F.col("seq_start")).alias("seq_start_us"), _us(F.col("seq_end")).alias("seq_end_us")
+    )
+
+
 # ------------------------------------------------------ T10 schema inference
 
 def json_schema_infer(spark, sf_dir):

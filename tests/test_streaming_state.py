@@ -197,3 +197,55 @@ def test_session_window_streaming_matches_batch(spark, ts_stream_dir, tmp_path):
     batch = spark.read.parquet(ts_stream_dir).where(F.col("user_id") != 99)
     expected = {(r.user_id, r.window_start, r.window_end, r.n, r.s) for r in build(batch).collect()}
     assert got == expected
+
+
+def test_cep_sequence_stream_matches_batch(spark, tmp_path):
+    """CEP sequence detector: streaming (applyInPandasWithState) and
+    batch (lead window) forms must find the identical match set on an
+    in-order-per-key stream."""
+    from datetime import datetime, timedelta
+
+    from hydra_spark.operators.cep import sequence_matches_batch, sequence_matches_stream
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("label", T.StringType()),
+    ])
+    base = datetime(2025, 1, 1)
+    seq = ["a", "a", "b", "a", "b", "a", "a", "b", "c", "a", "a", "b"]
+    rows = []
+    for u in ("u1", "u2"):
+        for i, lab in enumerate(seq):
+            # u2's events are spread too far apart for the time budget
+            step = 5 if u == "u1" else 120
+            rows.append((u, base + timedelta(seconds=step * i), lab))
+    d = str(tmp_path / "cep")
+    # two files -> two micro-batches, split mid-pattern
+    spark.createDataFrame(rows[:13], schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows[13:], schema).coalesce(1).write.mode("append").parquet(d)
+
+    pattern, within = ["a", "a", "b"], 60
+    batch = sequence_matches_batch(
+        spark.read.parquet(d), "k", "label", "event_time", pattern, within
+    )
+    expected = {(r.k, r.seq_start, r.seq_end) for r in batch.collect()}
+    assert any(k == "u1" for k, *_ in expected) and not any(k == "u2" for k, *_ in expected)
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    got = []
+    q = (
+        sequence_matches_stream(src, "k", "label", "event_time", pattern, within)
+        .writeStream.foreachBatch(lambda bdf, bid: got.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp3"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert {(r.k, r.seq_start, r.seq_end) for r in got} == expected

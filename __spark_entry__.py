@@ -234,7 +234,8 @@ def oracle_sql() -> dict[str, str]:
                            coalesce(c.committed_offset, -1) AS committed_offset,
                            l.latest_offset - coalesce(c.committed_offset, -1) AS lag
                     FROM latest l LEFT JOIN committed c USING (event_type))
-            SELECT sum(lag) AS total_lag, sum(latest_offset) AS total_latest,
+            SELECT CAST(sum(lag) AS BIGINT) AS total_lag,
+                   CAST(sum(latest_offset) AS BIGINT) AS total_latest,
                    round(sum(lag)::DOUBLE / sum(latest_offset + 1) * 100.0, 4) AS lag_pct
             FROM lag
         """,
@@ -294,7 +295,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_key_extraction": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(json_extract_string(props,'$.k')) AS n_with_k
             FROM events GROUP BY 1
         """,
@@ -319,7 +320,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' GROUP BY 1,2
         """,
         "tpch_q3": """
-            SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                    round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
             FROM lineitem JOIN orders ON l_orderkey=o_orderkey
                           JOIN customer ON o_custkey=c_custkey
@@ -399,7 +400,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT source,
-                   sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs,
                    round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
             FROM documents GROUP BY 1

@@ -334,6 +334,9 @@ def tpch_q3(spark, sf_dir):
         j.groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .where(F.col("revenue") > 100000)
+        # date emitted as a plain string on BOTH engine and oracle sides —
+        # the driver's value-hash is representation-sensitive
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "revenue")
     )
 
 

@@ -43,10 +43,31 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    return "object"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     errs = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         errs.append(f"schema: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
+        return errs
+    # the driver's value-hash is representation-sensitive: a DuckDB HUGEINT
+    # (surfacing as float/object) vs a Spark LongType is a hash mismatch
+    # even when values are equal — fail it here too, before coercion hides it
+    for c in spark_pdf.columns:
+        ks, kd = _kind(spark_pdf[c]), _kind(duck_pdf[c])
+        if ks != kd:
+            errs.append(f"dtype col {c}: spark={spark_pdf[c].dtype} ({ks}) duck={duck_pdf[c].dtype} ({kd})")
+    if errs:
         return errs
     if len(spark_pdf) != len(duck_pdf):
         errs.append(f"rowcount: spark={len(spark_pdf)} duck={len(duck_pdf)}")

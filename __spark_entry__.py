@@ -3,10 +3,14 @@
 ``entry(spark)`` — flagship tumbling-window CEP aggregation at sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 +
 training-data ops); each callable (spark, sf_dir) -> DataFrame.
-``oracle_sql()`` — DuckDB ANSI-SQL equivalents. Omitted for the
-genuinely approximate / streaming-only ops (minhash_lsh_dup,
-simhash_dup, ann_lsh_topk, clips_*) — those get rows-only checks here
-and full oracle checks in the pytest suite instead.
+``oracle_sql()`` — DuckDB ANSI-SQL equivalents. Omitted only for
+(a) approximate ops whose recall<1 is the point (ann_lsh_topk, pruned
+ann_ivf_topk, simhash_dup_fast) — each has an exact-probing or
+exact-hash sibling that IS oracle-checked (ann_ivf_fullprobe,
+simhash_dup) plus recall tests in pytest — and (b) the audio-decode
+clips_* ops (SQL cannot decode PCM; numpy-oracle parity in pytest).
+minhash_lsh_dup and simhash_dup are deterministically equal to their
+exact oracles by construction (bands=64 / pigeonhole chunking).
 """
 
 from __future__ import annotations
@@ -58,6 +62,17 @@ def clips_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_peak", 4).alias("max_peak"),
         "n_with_transcript",
     )
+
+
+def transcript_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N9 normalization through the engine's vectorized UDF, over the
+    driver documents table so DuckDB can mirror it (NFC + lower +
+    whitespace collapse + trim; documents text is ASCII, so the SQL
+    lower/\\s semantics match Python's exactly)."""
+    from hydra_spark.functions.text import normalize_transcript
+
+    docs = A.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_transcript(F.col("text")).alias("text_norm"))
 
 
 def clips_transcript_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,6 +140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_extraction": A.json_key_extraction,
         # K5 admission
         "size_limit_quarantine": A.size_limit_quarantine,
+        # T5/F5 uuid logical type, T2 nested strict, K6 error taxonomy,
+        # T7 key/value consistency, D2 schema evolution
+        "uuid_validation": A.uuid_validation,
+        "strict_extra_fields": A.strict_extra_fields,
+        "publish_error_codes": A.publish_error_codes,
+        "kv_mismatch_report": A.kv_mismatch_report,
+        "schema_evolution": A.schema_evolution,
         # §2.9 correlation ids / T10 schema inference
         "correlation_ids": A.correlation_ids,
         "json_schema_infer": A.json_schema_infer,
@@ -135,13 +157,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data: dedup
         "dedup_exact": docs(D.dedup_exact),
         "ngram_jaccard_pairs": docs(lambda d: D.ngram_jaccard_pairs(d, threshold=0.05)),
-        "minhash_lsh_dup": docs(lambda d: D.minhash_lsh_pairs(d, threshold=0.5)),
-        "simhash_dup": docs(lambda d: D.simhash_pairs(d, max_hamming=8)),
+        # bands=64 (2 rows/band): P[miss | J>=0.5] = (1-J^2)^64 <= 1e-8,
+        # so the exact-verified output deterministically equals the
+        # oracle's full exact-Jaccard filter — oracle-checkable
+        "minhash_lsh_dup": docs(lambda d: D.minhash_lsh_pairs(d, threshold=0.5, bands=64)),
+        # md5-hash family + 16 chunks: pigeonhole recall 1 for
+        # hamming<=8, output equals the oracle's all-pairs filter
+        "simhash_dup": docs(lambda d: D.simhash_pairs_md5(d, max_hamming=8)),
+        # xxhash64 fast-path variant (4-chunk pigeonhole, recall<1 by
+        # construction) — rows-only; recall asserted in tests/test_ops.py
+        "simhash_dup_fast": docs(lambda d: D.simhash_pairs(d, max_hamming=8)),
         # training-data: similarity
         "embedding_cosine_topk": emb(lambda e: S.cosine_topk(e, list(range(25)), k=3)),
         "embedding_cosine_dup": emb(lambda e: S.cosine_pairs(e, threshold=0.4)),
         "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
         "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
+        # probing every list turns IVF into exact search — verifies the
+        # assign/explode/bucket-join/re-rank machinery against the
+        # brute-force oracle (the pruned form above stays recall-tested)
+        "ann_ivf_fullprobe": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=16, n_lists=16)),
+        # N9 transcript normalization, oracle-checkable form over the
+        # driver's documents table (clips form stays byte-parity-tested)
+        "transcript_normalize_docs": transcript_normalize_docs,
         # training-data: text analysis
         "lang_id": docs(X.lang_id),
         "quality_score": docs(X.quality_score),
@@ -307,6 +344,68 @@ def oracle_sql() -> dict[str, str]:
         "correlation_ids": """
             SELECT event_id, to_base(event_id, 36) AS corr_id FROM events
         """,
+        "uuid_validation": """
+            WITH u AS (SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+            c AS (SELECT event_id,
+                    CASE WHEN event_id % 97 = 0 THEN NULL
+                         WHEN event_id % 50 = 0 THEN h
+                         ELSE substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)||'-'||
+                              substr(h,17,4)||'-'||substr(h,21,12) END AS uuid_str
+                  FROM u)
+            SELECT event_id, uuid_str,
+                   CASE WHEN uuid_str IS NOT NULL AND NOT regexp_matches(uuid_str,
+                        '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+                        THEN 'InvalidUuid:uuid_str:' || uuid_str END AS reject_reason
+            FROM c
+        """,
+        "strict_extra_fields": """
+            WITH p AS (SELECT event_id,
+                    CASE WHEN event_id % 10 = 0
+                         THEN '{"k":' || json_extract_string(props,'$.k') || ',"extra1":1,"nested":{"a":1,"zz":2}}'
+                         ELSE '{"k":' || json_extract_string(props,'$.k') || ',"nested":{"a":1}}' END AS payload
+                  FROM events),
+            e AS (SELECT event_id,
+                    list_sort(list_concat(
+                      [x FOR x IN json_keys(payload) IF x NOT IN ('k','nested')],
+                      ['nested.' || x FOR x IN json_keys(payload, '$.nested') IF x NOT IN ('a')]
+                    )) AS ex
+                  FROM p)
+            SELECT event_id,
+                   CASE WHEN len(ex) > 0 THEN array_to_string(ex, ',') END AS extra_fields,
+                   CASE WHEN len(ex) > 0 THEN 'ExtraFields:' || array_to_string(ex, ',') END AS reject_reason
+            FROM e
+        """,
+        "publish_error_codes": """
+            WITH r AS (SELECT doc_id,
+                    CASE WHEN doc_id % 50 = 0 THEN 'Timeout:simulated-broker-timeout'
+                         WHEN length(text) > 300 THEN 'RecordTooLarge:' || length(text) || '>300'
+                    END AS reject_reason
+                  FROM documents)
+            SELECT doc_id, reject_reason,
+                   CASE WHEN reject_reason LIKE 'RecordTooLarge%' THEN 413
+                        WHEN reject_reason LIKE 'Timeout%' THEN 408
+                        ELSE 500 END AS error_code
+            FROM r WHERE reject_reason IS NOT NULL
+        """,
+        "kv_mismatch_report": """
+            WITH d AS (SELECT event_id, user_id AS key_user_id,
+                    CASE WHEN event_id % 97 = 0 THEN user_id + 1 ELSE user_id END AS value_user_id,
+                    event_type AS key_event_type,
+                    CASE WHEN event_id % 203 = 0 THEN NULL ELSE event_type END AS value_event_type
+                  FROM events)
+            SELECT event_id, 'user_id' AS field,
+                   CAST(key_user_id AS VARCHAR) AS key_value,
+                   CAST(value_user_id AS VARCHAR) AS value_value
+            FROM d WHERE key_user_id IS DISTINCT FROM value_user_id
+            UNION ALL
+            SELECT event_id, 'event_type', key_event_type, value_event_type
+            FROM d WHERE key_event_type IS DISTINCT FROM value_event_type
+        """,
+        "schema_evolution": """
+            SELECT o_orderkey, o_custkey,
+                   round(CASE WHEN o_orderkey % 2 = 0 THEN 0.0 ELSE o_totalprice END, 4) AS o_totalprice
+            FROM orders
+        """,
         "json_schema_infer": """
             SELECT event_type,
                    array_to_string(list_sort(list_distinct(flatten(list(json_keys(props))))), ',') AS fields
@@ -407,6 +506,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "minhash_lsh_dup": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                              generate_subscripts(string_split(text,' '),1) AS pos FROM documents),
+            g AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram
+                  FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                           JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+            cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                      FROM g a JOIN g b ON a.gram=b.gram AND a.doc_id<b.doc_id GROUP BY 1,2)
+            SELECT d1, d2, round(i::DOUBLE/(ca.n+cb.n-i),4) AS jaccard
+            FROM inter JOIN cnt ca ON ca.doc_id=d1 JOIN cnt cb ON cb.doc_id=d2
+            WHERE round(i::DOUBLE/(ca.n+cb.n-i),4) >= 0.5
+        """,
+        "simhash_dup": """
+            WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+            h AS (SELECT doc_id,
+                    CAST('0x'||substr(md5(tok),1,8) AS BIGINT) AS hi,
+                    CAST('0x'||substr(md5(tok),9,8) AS BIGINT) AS lo
+                  FROM t),
+            bits AS (SELECT doc_id, b.b AS bit,
+                    sum(CASE WHEN ((hi >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS vhi,
+                    sum(CASE WHEN ((lo >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS vlo
+                  FROM h CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) b
+                  GROUP BY doc_id, b.b),
+            sigs AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN vhi > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig_hi,
+                    CAST(sum(CASE WHEN vlo > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig_lo
+                  FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(bit_count(xor(a.sig_hi,b.sig_hi)) + bit_count(xor(a.sig_lo,b.sig_lo)) AS INT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig_hi,b.sig_hi)) + bit_count(xor(a.sig_lo,b.sig_lo)) <= 8
+        """,
+        "ann_ivf_fullprobe": """
+            WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+            s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+                  FROM b q, b c WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 3
+        """,
+        "transcript_normalize_docs": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS text_norm
+            FROM documents
         """,
         "binary_metadata": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -55,12 +55,29 @@ _LUT = {
 
 def _ragged_gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Concatenate data[starts[i]:starts[i]+lens[i]] — one vectorized
-    fancy-index pass, no per-row Python."""
+    fancy-index pass, no per-row Python.
+
+    The index array is the dominant memory traffic of the decode stage
+    (it dwarfs the 1-2 byte samples it gathers), so it is built in
+    int32 (Arrow batches are <2 GiB by construction) with a cumsum
+    trick instead of repeat+arange — ~3x less index-buffer traffic,
+    which is what decode throughput is bound by at high core counts."""
+    nz = lens > 0
+    if not nz.all():  # zero-length segments contribute nothing but would
+        starts, lens = starts[nz], lens[nz]  # break the head-offset trick
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, dtype=data.dtype)
-    heads = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    idx = np.repeat(starts - heads, lens) + np.arange(total, dtype=np.int64)
+    # idx = ones; at each segment head write (start_i - prev_end_{i-1} + 1);
+    # cumsum then yields consecutive positions within each segment.
+    idx = np.ones(total, dtype=np.int32)
+    heads = np.empty(len(lens), dtype=np.int64)
+    heads[0] = 0
+    np.cumsum(lens[:-1], out=heads[1:])
+    prev_end = starts + lens  # end of each segment
+    idx[0] = starts[0]
+    idx[heads[1:]] = (starts[1:] - prev_end[:-1] + 1).astype(np.int32)
+    np.cumsum(idx, out=idx, dtype=np.int32)
     return data[idx]
 
 

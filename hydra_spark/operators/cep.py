@@ -76,12 +76,21 @@ def sequence_matches_stream(
     pattern: list[str],
     within_seconds: int,
     watermark: str = "60 seconds",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Streaming form: per-key rolling buffer of the trailing
     ``len(pattern)`` events; emits a match when a buffer suffix equals
     the pattern within the time budget. Assumes per-key event-time order
     across batches (guaranteed by per-key-partitioned sources; within a
-    batch we sort)."""
+    batch we sort by (ts, tiebreak) — the same order as the batch form).
+
+    Timestamps compare at MICROsecond precision (the batch form's
+    native timestamp precision, so streaming == batch exactly at the
+    budget boundary). Idle keys expire via event-time timeout once the
+    watermark passes last_event + budget: any later match spanning the
+    expired buffer would exceed the budget anyway, so expiry never
+    changes results — it just bounds state at 10^12-key cardinality.
+    """
     n = len(pattern)
     out_schema = T.StructType(
         [
@@ -92,44 +101,53 @@ def sequence_matches_stream(
     )
     state_schema = T.StructType(
         [
-            T.StructField("ts_ms", T.ArrayType(T.LongType())),
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
             T.StructField("labels", T.ArrayType(T.StringType())),
         ]
     )
+    budget_us = within_seconds * 1_000_000
+    is_streaming = df.isStreaming  # captured as a plain bool (fn ships to workers)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         ts_buf, lab_buf = state.get if state.exists else ([], [])
         ts_buf, lab_buf = list(ts_buf), list(lab_buf)
         matches = []
         for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, label_col])
+            pdf = pdf.sort_values([ts_col, tiebreak_col or label_col])
             for ts, lab in zip(pdf[ts_col], pdf[label_col]):
-                ts_ms = int(ts.value // 10**6)
-                ts_buf.append(ts_ms)
+                ts_us = int(ts.value // 1000)
+                ts_buf.append(ts_us)
                 lab_buf.append(str(lab))
                 if len(ts_buf) > n:
                     ts_buf, lab_buf = ts_buf[-n:], lab_buf[-n:]
                 if (
                     len(lab_buf) == n
                     and lab_buf == pattern
-                    and ts_buf[-1] - ts_buf[0] <= within_seconds * 1000
+                    and ts_buf[-1] - ts_buf[0] <= budget_us
                 ):
                     matches.append((ts_buf[0], ts_buf[-1]))
         state.update((ts_buf, lab_buf))
+        if ts_buf and is_streaming:
+            # expire once no in-budget continuation can exist
+            timeout_ms = ts_buf[-1] // 1000 + within_seconds * 1000 + 1
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         if matches:
             yield pd.DataFrame(
                 {
                     key_col: [key[0]] * len(matches),
-                    "seq_start": [pd.Timestamp(a, unit="ms") for a, _ in matches],
-                    "seq_end": [pd.Timestamp(b, unit="ms") for _, b in matches],
+                    "seq_start": [pd.Timestamp(a, unit="us") for a, _ in matches],
+                    "seq_end": [pd.Timestamp(b, unit="us") for _, b in matches],
                 }
             )
 
-    g = (
-        df.withWatermark(ts_col, watermark).groupBy(key_col)
-        if df.isStreaming
-        else df.groupBy(key_col)
-    )
-    return g.applyInPandasWithState(
+    if is_streaming:
+        g = df.withWatermark(ts_col, watermark).groupBy(key_col)
+        return g.applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

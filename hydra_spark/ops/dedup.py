@@ -37,8 +37,13 @@ _MERSENNE = (1 << 61) - 1
 
 # ---------------------------------------------------------------- shingles
 
-def word_ngrams(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, gram) distinct word n-grams, JVM-side only."""
+def word_ngrams(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, gram) word n-grams, JVM-side only. ``distinct=False``
+    skips the dedup shuffle for consumers that dedup inside their own
+    aggregation (e.g. collect_set) — one shuffle instead of two."""
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(words) - F.lit(n))
     grams = F.transform(
@@ -47,7 +52,7 @@ def word_ngrams(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str =
     out = df.select(
         F.col(id_col), F.explode(F.when(F.size(words) >= n, grams).otherwise(F.array())).alias("gram")
     )
-    return out.distinct()
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------- exact
@@ -112,16 +117,36 @@ def _minhash_udf(n_perm: int, seed: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(gram_hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in gram_hashes:
-            if hs is None or len(hs) == 0:
-                out.append(np.full(n_perm, _MERSENNE, dtype=np.int64))
-                continue
-            h = np.asarray(hs, dtype=np.uint64).astype(np.int64) & ((1 << 61) - 1)
-            # (n_perm, n_grams) affine perms mod Mersenne prime, min per perm
+        """Stacked-batch signatures: all docs' gram hashes concatenate
+        into ONE (n_perm, total_grams) affine-hash matrix per slice,
+        per-doc mins via minimum.reduceat — no per-doc Python loop
+        (same decode-style vectorization as functions/decode.py).
+        Slices bound the temp matrix to ~128 MB."""
+        lens = np.array([0 if hs is None else len(hs) for hs in gram_hashes], dtype=np.int64)
+        out = np.empty(len(gram_hashes), dtype=object)
+        nonempty = np.nonzero(lens > 0)[0]
+        for i in np.nonzero(lens == 0)[0]:
+            out[i] = np.full(n_perm, _MERSENNE, dtype=np.int64)
+        max_grams = max(1, (128 << 20) // (8 * n_perm))
+        pos = 0
+        while pos < len(nonempty):
+            end = pos + 1
+            tot = lens[nonempty[pos]]
+            while end < len(nonempty) and tot + lens[nonempty[end]] <= max_grams:
+                tot += lens[nonempty[end]]
+                end += 1
+            rows = nonempty[pos:end]
+            h = (
+                np.concatenate([np.asarray(gram_hashes.iloc[i], dtype=np.uint64) for i in rows])
+                .astype(np.int64) & ((1 << 61) - 1)
+            )
             m = (A[:, None] * h[None, :] + B[:, None]) % _MERSENNE
-            out.append(m.min(axis=1))
-        return pd.Series(out)
+            bounds = np.concatenate(([0], np.cumsum(lens[rows])[:-1]))
+            mins = np.minimum.reduceat(m, bounds, axis=1)  # (n_perm, n_docs)
+            for j, i in enumerate(rows):
+                out[i] = mins[:, j]
+            pos = end
+        return pd.Series(list(out))
 
     return minhash
 
@@ -131,11 +156,13 @@ def minhash_signatures(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, sig array<long>[n_perm]) — shingle hashing JVM-side,
-    signature math vectorized numpy."""
-    g = word_ngrams(df, n, text_col, id_col).select(
+    signature math vectorized numpy. Gram dedup happens INSIDE the
+    aggregation (collect_set, map-side partial) — no separate distinct
+    shuffle of the exploded grams."""
+    g = word_ngrams(df, n, text_col, id_col, distinct=False).select(
         F.col(id_col), F.xxhash64("gram").alias("gh")
     )
-    per_doc = g.groupBy(id_col).agg(F.collect_list("gh").alias("gram_hashes"))
+    per_doc = g.groupBy(id_col).agg(F.collect_set("gh").alias("gram_hashes"))
     mh = _minhash_udf(n_perm, seed)
     return per_doc.select(F.col(id_col), mh(F.col("gram_hashes")).alias("sig"))
 
@@ -154,7 +181,11 @@ def minhash_lsh_pairs(
     """Near-dup candidate pairs via banded MinHash-LSH; optionally
     verified with exact n-gram Jaccard >= threshold on candidates only."""
     rows = n_perm // bands
+    # signatures feed the banding AND (when verifying) the estimate
+    # pre-filter — persist so shingle+minhash computes once
     sigs = minhash_signatures(df, n_perm, n, seed, text_col, id_col)
+    if verify:
+        sigs = sigs.persist()
     band_cols = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -172,6 +203,22 @@ def minhash_lsh_pairs(
     cand = a.join(b, ["band", "bh"]).where(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
     if not verify:
         return cand
+    # signature-estimate pre-filter: Jaccard ≈ matching-component
+    # fraction of the two signatures (the MinHash estimator). Pairs
+    # whose estimate sits far below threshold are dropped BEFORE the
+    # exact verifier re-shingles them — at 128 perms the estimator's
+    # std is ≲0.045, so a 0.15 margin is >3σ: the exact-verified output
+    # set is unchanged, the verify fan-in shrinks to near-threshold
+    # pairs only. All JVM-side (zip_with + filter + size).
+    margin = 0.15
+    s1 = sigs.select(F.col(id_col).alias("d1"), F.col("sig").alias("_s1"))
+    s2 = sigs.select(F.col(id_col).alias("d2"), F.col("sig").alias("_s2"))
+    est = F.size(F.filter(F.zip_with("_s1", "_s2", lambda x, y: x == y), lambda m: m)) / F.lit(n_perm)
+    cand = (
+        cand.join(s1, "d1").join(s2, "d2")
+        .where(est >= threshold - margin)
+        .select("d1", "d2")
+    )
     # the candidate set is referenced three times by the verifier —
     # cache it so the MinHash signatures + banding compute once
     # (Spark evicts LRU; at scale this is a small (d1, d2) table)
@@ -258,6 +305,98 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     per_doc = toks.groupBy(id_col).agg(F.collect_list("th").alias("token_hashes"))
     sh = _simhash_udf()
     return per_doc.select(F.col(id_col), sh(F.col("token_hashes")).alias("simhash"))
+
+
+def _simhash_halves_udf():
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def simhash2(token_hashes: pd.Series) -> pd.Series:
+        """(sig_hi, sig_lo) from per-token (hi32, lo32) hash pairs —
+        two 32-bit halves sidestep 64-bit sign overflow in engines whose
+        integer shifts are signed (the DuckDB oracle builds the exact
+        same halves in SQL)."""
+        out = []
+        for hs in token_hashes:
+            if hs is None or len(hs) == 0:
+                out.append([0, 0])
+                continue
+            h = np.asarray(hs, dtype=np.int64).reshape(-1, 2)  # (n_tok, [hi, lo])
+            sig = []
+            for half in (0, 1):
+                bits = (h[:, half, None] >> np.arange(32)[None, :]) & 1
+                v = (2 * bits - 1).sum(axis=0)
+                sig.append(int(((v > 0).astype(np.int64) << np.arange(32)).sum()))
+            out.append(sig)
+        return pd.Series(out)
+
+    return simhash2
+
+
+def simhash_pairs_md5(
+    df: DataFrame, max_hamming: int = 8, chunks_per_half: int = 8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs with a DETERMINISTIC, SQL-reproducible
+    hash family (md5 halves) and a pigeonhole-complete candidate stage.
+
+    With 16 total chunks (8 per 32-bit half, 4 bits each) and
+    max_hamming <= 15, any qualifying pair differs in at most 15 bits,
+    so at least one chunk is untouched — the chunk-bucket equi-join has
+    RECALL 1 by pigeonhole, making the output exactly equal to the
+    all-pairs hamming filter (which is what the DuckDB oracle computes).
+    The xxhash64 variant (simhash_pairs) remains the fast path; this one
+    is the oracle-verifiable form.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = F.md5("tok")
+    toks = toks.select(
+        id_col,
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    per_doc = toks.groupBy(id_col).agg(
+        F.collect_list(F.array("hi", "lo")).alias("pairs_")
+    ).select(id_col, F.flatten("pairs_").alias("token_hashes"))
+    sh = _simhash_halves_udf()
+    sigs = per_doc.select(F.col(id_col), sh(F.col("token_hashes")).alias("_sig")).select(
+        F.col(id_col),
+        F.col("_sig").getItem(0).alias("sig_hi"),
+        F.col("_sig").getItem(1).alias("sig_lo"),
+    )
+    width = 32 // chunks_per_half
+    cmask = (1 << width) - 1
+    chunk_structs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(half * chunks_per_half + c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("sig_hi" if half == 0 else "sig_lo"), c * width)
+                    .bitwiseAND(F.lit(cmask))
+                    .alias("cv"),
+                )
+                for half in (0, 1)
+                for c in range(chunks_per_half)
+            ]
+        )
+    ).alias("cc")
+    buckets = sigs.select(id_col, "sig_hi", "sig_lo", chunk_structs).select(
+        id_col, "sig_hi", "sig_lo", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
+    )
+    a = buckets.select(
+        F.col(id_col).alias("d1"), F.col("sig_hi").alias("h1"), F.col("sig_lo").alias("l1"), "chunk", "cv"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("d2"), F.col("sig_hi").alias("h2"), F.col("sig_lo").alias("l2"), "chunk", "cv"
+    )
+    cand = (
+        a.join(b, ["chunk", "cv"]).where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "h1", "l1", "h2", "l2").distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) + F.bit_count(
+        F.col("l1").bitwiseXOR(F.col("l2"))
+    )
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "d1", "d2", "hamming"
+    )
 
 
 def simhash_pairs(

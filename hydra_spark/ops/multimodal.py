@@ -62,19 +62,33 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                if r["payload"] is None:
-                    rows.append((r["media_id"], r["mime"], None, None, None, None, "null payload"))
-                    continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real image/video decode requires PIL/ffmpeg (not in container); "
-                        "use fake=True for the deterministic stub"
-                    )
-                w, h, feats = _fake_decode(bytes(r["payload"]), r["mime"])
-                rows.append((r["media_id"], r["mime"], len(r["payload"]), w, h, feats, None))
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            payloads = pdf["payload"]
+            null_mask = payloads.isna()
+            if not fake and (~null_mask).any():
+                raise NotImplementedError(
+                    "real image/video decode requires PIL/ffmpeg (not in container); "
+                    "use fake=True for the deterministic stub"
+                )
+            # one column-wise pass; the per-payload codec call (here the
+            # sha256 stub, later PIL/ffmpeg) is the only per-row work
+            decoded = [
+                None if p is None else _fake_decode(bytes(p), m)
+                for p, m in zip(payloads, pdf["mime"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "mime": pdf["mime"].values,
+                    "n_bytes": [None if p is None else len(p) for p in payloads],
+                    "width": [None if d is None else d[0] for d in decoded],
+                    "height": [None if d is None else d[1] for d in decoded],
+                    "features": [None if d is None else d[2] for d in decoded],
+                    "decode_error": [
+                        "null payload" if p is None else None for p in payloads
+                    ],
+                }
+            )
+            yield out
 
     # salt by media_id so one hot mime type cannot skew decode tasks
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)

@@ -19,10 +19,11 @@ LANG_STOPWORDS = {
 
 
 def _count_words(col, words: list[str]):
-    expr = F.lit(0).cast("long")
-    for w in words:
-        expr = expr + F.regexp_count(col, F.lit(rf"\b{w}\b"))
-    return expr
+    """One alternation regexp pass per language (word tokens are
+    space-separated, so alternation match count == summed per-word
+    counts — the form the SQL oracle uses)."""
+    alt = "|".join(words)
+    return F.size(F.regexp_extract_all(col, F.lit(rf"\b({alt})\b"), 0)).cast("long")
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -89,11 +89,24 @@ def pre_join_transform(
     num_partitions: int = 32,
     max_bytes: int | None = 4_000_000,
     salt: bool = True,
+    drop_rejected: bool = True,
 ) -> DataFrame:
     """Stateless pre-join stage (Hydra's record-factory, run *before*
     transport): admission checks → salted repartition → vectorized
     decode. Drops ``bytes``; emits ``reject_reason`` (admission rule or
     decode error — first failure wins) for the sink's quarantine split.
+
+    ``drop_rejected`` (default): admission-rejected rows leave the main
+    stream here — BEFORE decode (an oversized payload must never be
+    gathered into a decode batch) and before the watermarked join (a row
+    rejected for ``timestamp-millis<=0`` has a garbage event time, so the
+    join would silently discard it as late data — exactly the rows the
+    admission rule exists to capture). They are delivered to the
+    quarantine table by the stateless side stream
+    (``start_quarantine_stream``) instead. With ``drop_rejected=False``
+    rejected rows stay in-stream for the sink's split, but their payload
+    is nulled out so decode never touches it (the admission reason still
+    wins over the resulting null-bytes decode error).
 
     ``salt``: repartition by (codec, sr_hz, hash-salt) before decode.
     At scale the input table is typically partitioned by codec, so
@@ -102,6 +115,12 @@ def pre_join_transform(
     after decode only ~100 B/row feature rows move.
     """
     checked = validation.admission_checks(audio, max_bytes=max_bytes)
+    if drop_rejected:
+        checked = checked.where(F.col("reject_reason").isNull())
+    else:
+        checked = checked.withColumn(
+            "bytes", F.when(F.col("reject_reason").isNull(), F.col("bytes"))
+        )
     spread = salted_repartition(checked, num_partitions, "codec", "sr_hz") if salt else checked
     decoded = decode_features(spread)
     return decoded.withColumn(
@@ -137,6 +156,7 @@ def start_flagship(
     ack: str = "replicated",
     num_partitions: int | None = None,
     salt: bool = False,
+    max_bytes: int | None = 4_000_000,
 ):
     """Start the enriched-output streaming query. Returns (query, sink).
 
@@ -153,15 +173,18 @@ def start_flagship(
     trs = stream_table(spark, transcripts_dir, schema=_transcript_schema(), files_per_trigger=files_per_trigger)
     # decode BEFORE the stateful join — join state must hold feature
     # rows, never audio payloads (see module docstring)
-    decoded = pre_join_transform(audio, num_partitions, salt=salt)
+    decoded = pre_join_transform(audio, num_partitions, max_bytes=max_bytes, salt=salt)
     joined = clip_transcript_join(
         decoded, trs, lo=JOIN_LO, hi=JOIN_HI, how="left_outer",
         clip_watermark=WATERMARK, transcript_watermark=WATERMARK,
     )
     # append_dedup: the flagship output is append-only keyed by
     # (clip_id, window_start) — insert-only commits keep per-batch cost
-    # flat as the table grows (merge_upsert stays available for
-    # tombstone/latest-wins tables)
+    # flat as the table grows. Contract note: append_dedup is FIRST-wins
+    # across micro-batches (a key committed in batch k keeps its row if
+    # re-emitted in batch k+1 — e.g. a replayed noack publish); pipelines
+    # that need cross-batch latest-wins (late transcript updates must
+    # overwrite) use strategy="merge" (merge_upsert) instead.
     sink = ExactlyOnceSink(t, ["clip_id", "window_start"], ack=ack, strategy="append_dedup")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -174,6 +197,46 @@ def start_flagship(
         .start()
     )
     return q, sink, t
+
+
+def start_quarantine_stream(
+    spark: SparkSession,
+    audio_dir: str,
+    out_root: str,
+    files_per_trigger: int = 8,
+    max_bytes: int | None = 4_000_000,
+):
+    """Stateless admission-reject delivery stream.
+
+    Admission-rejected rows (RecordTooLarge, InvalidLogicalType:ts<=0)
+    are split out of the main pipeline BEFORE its watermarked join —
+    a ts-invalid row carries a garbage event time, so the stateful
+    topology would silently drop it as late data and the quarantine
+    table would undercount exactly the rows the admission rule exists
+    to capture. This side stream re-reads the source stateless (no
+    watermark, no state) and appends rejects idempotently per batch.
+    (Kafka analog: a second cheap consumer on the same topic feeding the
+    dead-letter table — Hydra publishes ingest errors to a side topic
+    the same way, KafkaTransport.scala:56-59.)
+    """
+    t = build_tables(out_root)
+    audio = stream_table(spark, audio_dir, schema=_audio_schema(), files_per_trigger=files_per_trigger)
+    rejects = validation.admission_checks(audio, max_bytes=max_bytes).where(
+        F.col("reject_reason").isNotNull()
+    ).drop("bytes")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t["quarantine"].append_df(batch_df, f"adm-{batch_id}")
+
+    q = (
+        rejects.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_root, "_checkpoint_quarantine"))
+        .outputMode("append")
+        .start()
+    )
+    return q, t
 
 
 def start_window_rollup(

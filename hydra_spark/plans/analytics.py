@@ -354,3 +354,140 @@ def nation_revenue(spark, sf_dir):
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
+
+
+# ------------------------------------------- validation depth (T2/T5/T7/K6)
+
+def uuid_validation(spark, sf_dir):
+    """T5/F5 uuid logical-type validation (StringToGenericRecord.scala:63-64):
+    non-null uuid strings must parse; nulls pass (nullable union)."""
+    from hydra_spark import validation as V
+
+    ev = load(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    uuid_ok = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    uuid_col = (
+        F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 50 == 0, h)  # undashed -> invalid
+        .otherwise(uuid_ok)
+    )
+    checked = V.admission_checks(
+        ev.select("event_id", uuid_col.alias("uuid_str")),
+        enforce_positive_ts=False, uuid_cols=["uuid_str"],
+    )
+    return checked.select("event_id", "uuid_str", "reject_reason")
+
+
+def strict_extra_fields(spark, sf_dir):
+    """T2 recursive strict validation over row-level JSON payloads
+    (StringToGenericRecord.scala:28-51): every undeclared field path —
+    including inside nested records — is reported; strict mode rejects."""
+    from hydra_spark import validation as V
+
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    payload = (
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.concat(F.lit('{"k":'), k, F.lit(',"extra1":1,"nested":{"a":1,"zz":2}}')),
+        )
+        .otherwise(F.concat(F.lit('{"k":'), k, F.lit(',"nested":{"a":1}}')))
+    )
+    df = ev.select("event_id", payload.alias("payload"))
+    extras = V.extra_json_field_paths("payload", {"": ["k", "nested"], "nested": ["a"]})
+    return df.select(
+        "event_id",
+        F.when(F.size(extras) > 0, F.array_join(extras, ",")).alias("extra_fields"),
+        F.when(
+            F.size(extras) > 0, F.concat(F.lit("ExtraFields:"), F.array_join(extras, ","))
+        ).alias("reject_reason"),
+    )
+
+
+def publish_error_codes(spark, sf_dir):
+    """K6 typed publish-error taxonomy (KafkaClientAlgebra.scala:182-202):
+    reject reasons carry stable numeric codes (408/413/... analogs)."""
+    from hydra_spark import validation as V
+
+    docs = load(spark, sf_dir, "documents")
+    reason = (
+        F.when(F.col("doc_id") % 50 == 0, F.lit("Timeout:simulated-broker-timeout"))
+        .when(
+            F.length("text") > 300,
+            F.concat(F.lit("RecordTooLarge:"), F.length("text").cast("string"), F.lit(">300")),
+        )
+    )
+    out = docs.select("doc_id", reason.alias("reject_reason")).where(
+        F.col("reject_reason").isNotNull()
+    )
+    return out.withColumn("error_code", V.error_code(F.col("reject_reason")))
+
+
+def kv_mismatch_report(spark, sf_dir):
+    """T7 key/value consistency report (IngestionFlowV2.scala:120-141):
+    fields present in both key and value payloads must agree; one report
+    row per (record, mismatched field)."""
+    from hydra_spark import validation as V
+
+    ev = load(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.col("user_id").alias("key_user_id"),
+        F.when(F.col("event_id") % 97 == 0, F.col("user_id") + 1)
+        .otherwise(F.col("user_id"))
+        .alias("value_user_id"),
+        F.col("event_type").alias("key_event_type"),
+        F.when(F.col("event_id") % 203 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("value_event_type"),
+    )
+    return V.key_value_mismatch_report(
+        df,
+        ["event_id"],
+        [
+            ("user_id", "key_user_id", "value_user_id"),
+            ("event_type", "key_event_type", "value_event_type"),
+        ],
+    )
+
+
+def schema_evolution(spark, sf_dir):
+    """D2 schema registration / evolution (SchemaRegistry.scala:39-119):
+    snapshot 1 written under schema v1 (o_orderkey, o_custkey), schema
+    evolved additively to v2 (+ o_totalprice, default 0.0), snapshot 2
+    written under v2; the evolution-aware read fills old rows with the
+    default. Also exercises idempotent re-register (same fields -> same
+    version id)."""
+    import os as _os
+    import shutil as _shutil
+
+    from hydra_spark.tables import TransactionalTable
+
+    root = _os.path.join("/root/repo/.data/entry", f"schema_evo_{_os.path.basename(sf_dir.rstrip('/'))}")
+    _shutil.rmtree(root, ignore_errors=True)
+    t = TransactionalTable(root, ["o_orderkey"], n_buckets=8)
+    v1 = t.register_schema(
+        [{"name": "o_orderkey", "type": "bigint"}, {"name": "o_custkey", "type": "bigint"}]
+    )
+    assert t.register_schema(t.schema_version(v1)["fields"]) == v1  # idempotent
+    orders = load(spark, sf_dir, "orders")
+    snap1 = orders.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_custkey")
+    t.merge_upsert(spark, snap1, "snap1")
+    t.register_schema(
+        [
+            {"name": "o_orderkey", "type": "bigint"},
+            {"name": "o_custkey", "type": "bigint"},
+            {"name": "o_totalprice", "type": "double", "default": 0.0},
+        ]
+    )
+    snap2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t.merge_upsert(spark, snap2, "snap2")
+    return t.read(spark).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )

@@ -6,7 +6,7 @@ sizes. This module is that entry point:
 
     zip -r hydra_spark.zip hydra_spark
     spark-submit --master local[8]  --py-files hydra_spark.zip \
-        -m hydra_spark.runner --audio ... --transcripts ... --out ...
+        hydra_spark/runner.py --audio ... --transcripts ... --out ...
     spark-submit --master local[32] --py-files hydra_spark.zip ...
 
 (tools/submit.sh wraps the packaging; on a real cluster only --master

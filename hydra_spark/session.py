@@ -79,6 +79,12 @@ def get_spark(
         .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # local FS: driver-side file listing is microseconds; the default
+        # threshold (32 paths) launches a 128-task listing job per stream
+        # start — pure scheduling overhead here. On object storage with
+        # 10^5+ files per table, drop this back to the default so listing
+        # distributes.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
     )

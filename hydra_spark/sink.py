@@ -66,9 +66,30 @@ class ExactlyOnceSink:
         self.lineage_partitions = lineage_partitions
         self.batches_seen: list = []
 
+    @classmethod
+    def for_existing(cls, root: str, key_cols: list[str], **kw) -> "ExactlyOnceSink":
+        """Open a sink on an already-bootstrapped table set; a missing
+        output table fails fast HERE, at plan/build time — the analog of
+        Hydra's TopicNotFoundInMetadata publish error
+        (KafkaClientAlgebra.scala:182-202): a doomed record is never
+        queued, the pipeline refuses to start."""
+        import os
+
+        from hydra_spark import tables as tbl
+        from hydra_spark.validation import TableNotFoundError
+
+        out_path = os.path.join(root, "output")
+        if not os.path.exists(os.path.join(out_path, "CURRENT")):
+            raise TableNotFoundError(f"output table not bootstrapped at {out_path}")
+        return cls(tbl.bootstrap(root, key_cols), key_cols, **kw)
+
     def _commit(self, spark, df: DataFrame, batch_id) -> bool:
         if self.strategy == "append_dedup":
-            return self.tables["output"].append_dedup(spark, df, batch_id)
+            # preclustered: the latest_wins_hash groupBy just shuffled the
+            # batch by exactly the key columns, so every bucket's rows are
+            # already co-located — the table skips its pre-write
+            # repartition (one shuffle per batch, not two)
+            return self.tables["output"].append_dedup(spark, df, batch_id, preclustered=True)
         return self.tables["output"].merge_upsert(spark, df, batch_id)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -148,9 +169,13 @@ class ExactlyOnceSink:
             got = obs.get if committed else {"n_in": 0, "n_quar": 0}
             n_in, n_quar = int(got["n_in"] or 0), int(got["n_quar"] or 0)
             if n_quar and committed:
+                # executor-side write: a bad codec can quarantine a whole
+                # batch, which must never be collected to the driver.
+                # Recomputing the rare path is safe (state-store versions
+                # make micro-batch re-execution deterministic).
                 quar = batch_df.where(F.col("reject_reason").isNotNull())
                 qcols = [c for c in quar.columns if c not in ("bytes", "pcm")]
-                self.tables["quarantine"].append_pandas(quar.select(*qcols).toPandas(), batch_id)
+                self.tables["quarantine"].append_df(quar.select(*qcols), batch_id)
             if track_lineage and committed:
                 lrows = self._lineage_rows(lin_obs.get, batch_id)
                 if len(lrows):

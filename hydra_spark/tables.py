@@ -36,6 +36,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+class SchemaCompatError(ValueError):
+    """Incompatible schema evolution (SchemaRegistry compat validation)."""
+
+
 class TransactionalTable:
     def __init__(self, path: str, key_cols: list[str], n_buckets: int = 32):
         self.path = path
@@ -81,6 +85,71 @@ class TransactionalTable:
     def committed_batches(self) -> set:
         return set(self.manifest()["committed_batches"])
 
+    # ------------------------------------------- schema registry (D2)
+    def register_schema(self, fields: list[dict]) -> int:
+        """Idempotent schema register + compatibility validation +
+        version lookup — the table-catalog analog of Hydra's
+        SchemaRegistry (avro/src/main/scala/hydra/avro/registry/
+        SchemaRegistry.scala:39-119 registerSchema/validate, :155-157
+        version lookup).
+
+        ``fields``: [{"name": str, "type": str, "default": any?}].
+        Rules (BACKWARD compat, like the reference's registry default):
+          * identical to the latest version -> returns the existing
+            version id (idempotent re-register)
+          * additive — every existing field keeps its name+type; new
+            fields appended (readers fill ``default``, else NULL)
+          * anything else (removal, type change) -> SchemaCompatError
+        """
+        fields = [dict(f) for f in fields]
+        m = self.manifest()
+        versions = m.get("schema_versions", [])
+        if versions and versions[-1]["fields"] == fields:
+            return versions[-1]["id"]
+        if versions:
+            old = {f["name"]: f["type"] for f in versions[-1]["fields"]}
+            new = {f["name"]: f["type"] for f in fields}
+            removed = [n for n in old if n not in new]
+            retyped = [n for n in old if n in new and new[n] != old[n]]
+            if removed or retyped:
+                raise SchemaCompatError(
+                    f"incompatible evolution: removed={removed} retyped="
+                    f"{[(n, old[n], new[n]) for n in retyped]}"
+                )
+        vid = len(versions) + 1
+        m["schema_versions"] = versions + [{"id": vid, "fields": fields}]
+        m["version"] += 1
+        self._write_manifest(m)
+        return vid
+
+    def schema_version(self, vid: int | None = None) -> dict | None:
+        """Version lookup (latest when vid is None)."""
+        versions = self.manifest().get("schema_versions", [])
+        if not versions:
+            return None
+        if vid is None:
+            return versions[-1]
+        return next((v for v in versions if v["id"] == vid), None)
+
+    # ------------------------------------------- table properties (D5)
+    def set_properties(self, props: dict[str, str]) -> None:
+        """Tag/property upsert (TagsAlgebra semantics: keyed key/value
+        metadata on the catalog entry, ingestors/kafka/src/main/scala/
+        hydra/kafka/algebras/TagsAlgebra.scala). Null value deletes."""
+        m = self.manifest()
+        cur = dict(m.get("properties", {}))
+        for k, v in props.items():
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = str(v)
+        m["properties"] = cur
+        m["version"] += 1
+        self._write_manifest(m)
+
+    def properties(self) -> dict[str, str]:
+        return dict(self.manifest().get("properties", {}))
+
     # ---------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:
         m = self.manifest()
@@ -89,7 +158,25 @@ class TransactionalTable:
             # empty table with correct key schema is the caller's problem;
             # return empty DF from schema hint if any data ever existed
             return spark.createDataFrame([], schema="dummy string").limit(0)
-        return spark.read.parquet(*files)
+        versions = m.get("schema_versions", [])
+        if not versions:
+            return spark.read.parquet(*files)
+        # evolution-aware read: files written under older schema versions
+        # lack the newer columns — mergeSchema unions the footers, then
+        # the latest registered schema projects/fills (default if
+        # declared, else NULL). mergeSchema reads every footer, so it is
+        # only enabled for tables that actually registered schemas.
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        cols = []
+        for f in versions[-1]["fields"]:
+            if f["name"] in df.columns:
+                c = F.col(f["name"])
+                if f.get("default") is not None:
+                    c = F.coalesce(c, F.lit(f["default"]).cast(f["type"]))
+            else:
+                c = F.lit(f.get("default")).cast(f["type"])
+            cols.append(c.alias(f["name"]))
+        return df.select(*cols)
 
     def is_empty(self) -> bool:
         return not any(self.manifest()["files"].values())
@@ -155,6 +242,7 @@ class TransactionalTable:
 
         self._write_manifest(
             {
+                **m,  # carry schema_versions / properties forward
                 "version": m["version"] + 1,
                 "files": new_files,
                 "committed_batches": m["committed_batches"] + [batch_id],
@@ -164,7 +252,9 @@ class TransactionalTable:
         return True
 
 
-    def append_dedup(self, spark: SparkSession, batch: DataFrame, batch_id) -> bool:
+    def append_dedup(
+        self, spark: SparkSession, batch: DataFrame, batch_id, preclustered: bool = False
+    ) -> bool:
         """Keyed insert-only commit: rows whose key already exists are
         dropped (first-wins); **no existing file is rewritten**.
 
@@ -172,30 +262,48 @@ class TransactionalTable:
         copy-on-write (rewrites every touched bucket — O(table) per
         batch once all buckets are touched); append_dedup is the
         merge-on-read analog (Iceberg `MERGE ... WHEN NOT MATCHED THEN
-        INSERT`): cost is O(batch) + one column-pruned key scan. For an
-        append-mostly stream keyed by (clip_id, window_start) this is
-        the difference between per-batch commit time growing with table
-        size and staying flat. Latest-wins/tombstone workloads still use
-        merge_upsert. Idempotent per batch_id like merge_upsert.
+        INSERT`). The existing-keys anti-join is **bucket-pruned**: only
+        the files of buckets the batch actually touches are read, key
+        columns only — per-batch commit cost is O(batch) + O(touched
+        buckets), not O(table), exactly like merge_upsert's pruning.
+        Latest-wins/tombstone workloads still use merge_upsert.
+        Idempotent per batch_id like merge_upsert.
+
+        ``preclustered``: the caller guarantees the batch is already
+        hash-partitioned by the key columns (e.g. it just came out of a
+        groupBy(key) dedup). Then every key's rows — and therefore every
+        bucket's rows, since _bucket = pmod(hash(key), n) — sit in one
+        task already, and the pre-write repartition (a full extra
+        shuffle of the batch) is skipped; partitionBy still routes each
+        task's rows to their bucket directories.
         """
         m = self.manifest()
         if batch_id in m["committed_batches"]:
             return False
 
         batch = batch.withColumn("_bucket", self._bucket_col())
-        old_files = [p for fl in m["files"].values() for p in fl]
-        if old_files:
-            existing_keys = spark.read.parquet(*old_files).select(*self.key_cols)
-            batch = batch.join(existing_keys, on=self.key_cols, how="left_anti")
+        pinned = None
+        try:
+            if any(m["files"].values()):
+                # bucket-pruned, column-pruned existing-keys anti-join.
+                # The distinct-buckets probe is a second action over the
+                # batch, so pin the batch first — never re-run the
+                # upstream (decode/join) plan twice.
+                batch = pinned = batch.persist()
+                affected = [int(r[0]) for r in batch.select("_bucket").distinct().collect()]
+                old_files = {int(k): v for k, v in m["files"].items()}
+                read_files = [p for b in affected for p in old_files.get(b, [])]
+                if read_files:
+                    existing_keys = spark.read.parquet(*read_files).select(*self.key_cols)
+                    batch = batch.join(existing_keys, on=self.key_cols, how="left_anti")
 
-        commit_id = uuid.uuid4().hex[:12]
-        out_dir = os.path.join(self.path, "data", f"c{commit_id}")
-        (
-            batch.repartition(self.n_buckets, "_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+            commit_id = uuid.uuid4().hex[:12]
+            out_dir = os.path.join(self.path, "data", f"c{commit_id}")
+            out = batch if preclustered else batch.repartition(self.n_buckets, "_bucket")
+            out.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
         new_files = {k: list(v) for k, v in m["files"].items()}
         for entry in os.listdir(out_dir):
             if entry.startswith("_bucket="):
@@ -208,6 +316,7 @@ class TransactionalTable:
                 ]
         self._write_manifest(
             {
+                **m,  # carry schema_versions / properties forward
                 "version": m["version"] + 1,
                 "files": new_files,
                 "committed_batches": m["committed_batches"] + [batch_id],
@@ -238,11 +347,26 @@ class AppendTable:
         pdf.to_parquet(tmp, index=False)
         os.rename(tmp, dst)
 
+    def append_df(self, df: DataFrame, batch_id) -> None:
+        """Executor-side append for row sets that must never transit the
+        driver (e.g. a whole quarantined batch when a codec goes bad).
+        A replayed batch overwrites its own directory — same batch-id
+        idempotence as append_pandas."""
+        out_dir = os.path.join(self.path, f"batch-{batch_id}.d")
+        df.write.mode("overwrite").parquet(out_dir)
+
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(self.path)
+        )
 
     def is_empty(self) -> bool:
-        return not any(f.endswith(".parquet") for f in os.listdir(self.path))
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return False
+        return True
 
 
 def bootstrap(root: str, output_keys: list[str], n_buckets: int = 32) -> dict:
@@ -254,6 +378,45 @@ def bootstrap(root: str, output_keys: list[str], n_buckets: int = 32) -> dict:
         "lineage": AppendTable(os.path.join(root, "_lineage")),
         "quarantine": AppendTable(os.path.join(root, "_quarantine")),
     }
+
+
+def bootstrap_transactional(
+    root: str, output_keys: list[str], n_buckets: int = 32, retries: int = 2
+) -> dict:
+    """Transactional bootstrap — Hydra's CreateTopicProgram semantics
+    (ingestors/kafka/src/main/scala/hydra/kafka/programs/
+    CreateTopicProgram.scala:39-107): each resource creation is retried,
+    and on terminal failure every resource created so far is deleted —
+    a half-created table set is never left behind."""
+    specs = [
+        ("output", os.path.join(root, "output"),
+         lambda p: TransactionalTable(p, output_keys, n_buckets)),
+        ("metrics", os.path.join(root, "_metrics"), AppendTable),
+        ("lineage", os.path.join(root, "_lineage"), AppendTable),
+        ("quarantine", os.path.join(root, "_quarantine"), AppendTable),
+    ]
+    created: list[str] = []
+    out: dict = {}
+    try:
+        for name, path, ctor in specs:
+            existed = os.path.exists(path)
+            last: Exception | None = None
+            for _attempt in range(retries + 1):
+                try:
+                    out[name] = ctor(path)
+                    last = None
+                    break
+                except Exception as e:  # retryingOnAllErrors analog
+                    last = e
+            if last is not None:
+                raise last
+            if not existed:
+                created.append(path)
+        return out
+    except Exception:
+        for p in created:  # rollback: delete-on-failure, newest first
+            shutil.rmtree(p, ignore_errors=True)
+        raise
 
 
 def drop(root: str) -> None:

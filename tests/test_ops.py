@@ -103,3 +103,49 @@ def test_ann_ivf_recall_vs_brute_force(spark, emb):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_cos:
             assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_simhash_md5_pigeonhole_complete(spark, docs):
+    """16 chunks + max_hamming 8: candidate generation provably misses
+    nothing (pigeonhole), so output == all-pairs hamming filter."""
+    from hydra_spark.ops.dedup import simhash_pairs_md5
+
+    got = {(r.d1, r.d2, r.hamming) for r in simhash_pairs_md5(docs, max_hamming=8).collect()}
+    # brute-force reference over the same signatures
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.md5("tok")
+    sig_src = toks.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    import numpy as np
+    pdf = sig_src.toPandas()
+    sigs = {}
+    for doc_id, grp in pdf.groupby("doc_id"):
+        out = []
+        for half in ("hi", "lo"):
+            hvals = grp[half].to_numpy(dtype=np.int64)
+            bits = (hvals[:, None] >> np.arange(32)[None, :]) & 1
+            v = (2 * bits - 1).sum(axis=0)
+            out.append(int(((v > 0).astype(np.int64) << np.arange(32)).sum()))
+        sigs[doc_id] = out
+    ids = sorted(sigs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(sigs[a][1] ^ sigs[b][1]).count("1")
+            if ham <= 8:
+                expected.add((a, b, ham))
+    assert got == expected
+
+
+def test_minhash_bands64_equals_exact(spark, docs):
+    """bands=64 (2 rows/band): miss probability <= 1e-8 per true pair,
+    so the verified output equals the exact >=0.5 Jaccard pair set —
+    this is what lets the driver oracle-check minhash_lsh_dup."""
+    from hydra_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r.d1, r.d2, r.jaccard) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    got = {(r.d1, r.d2, r.jaccard) for r in minhash_lsh_pairs(docs, threshold=0.5, bands=64).collect()}
+    assert got == exact

@@ -1,0 +1,103 @@
+"""D2 schema registry/evolution, D1 transactional bootstrap rollback,
+D5 table properties — catalog tier (SchemaRegistry.scala:39-119,
+CreateTopicProgram.scala:39-107, TagsAlgebra.scala semantics)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from hydra_spark import tables as tbl
+from hydra_spark.tables import SchemaCompatError, TransactionalTable
+
+V1 = [{"name": "k", "type": "string"}, {"name": "v", "type": "bigint"}]
+V2 = V1 + [{"name": "w", "type": "double", "default": 1.5}]
+
+
+def test_register_idempotent_and_lookup(tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"])
+    assert t.register_schema(V1) == 1
+    assert t.register_schema(V1) == 1  # idempotent re-register
+    assert t.register_schema(V2) == 2  # additive evolution
+    assert t.schema_version()["id"] == 2
+    assert t.schema_version(1)["fields"] == V1
+
+
+def test_incompatible_evolution_rejected(tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"])
+    t.register_schema(V1)
+    with pytest.raises(SchemaCompatError):  # field removal
+        t.register_schema([{"name": "k", "type": "string"}])
+    with pytest.raises(SchemaCompatError):  # type change
+        t.register_schema([{"name": "k", "type": "string"}, {"name": "v", "type": "string"}])
+    assert t.schema_version()["id"] == 1  # failed registers leave no version
+
+
+def test_evolution_read_fills_default(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.register_schema(V1)
+    t.merge_upsert(spark, spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})), 0)
+    t.register_schema(V2)
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(pd.DataFrame({"k": ["c"], "v": [3], "w": [9.0]})),
+        1,
+    )
+    got = {r.k: (r.v, r.w) for r in t.read(spark).collect()}
+    assert got == {"a": (1, 1.5), "b": (2, 1.5), "c": (3, 9.0)}
+    assert [f.name for f in t.read(spark).schema.fields] == ["k", "v", "w"]
+
+
+def test_bootstrap_rollback_on_failure(tmp_path, monkeypatch):
+    root = str(tmp_path / "boot")
+
+    calls = {"n": 0}
+    orig = tbl.AppendTable.__init__
+
+    def flaky(self, path):
+        calls["n"] += 1
+        raise OSError("disk on fire")
+
+    monkeypatch.setattr(tbl.AppendTable, "__init__", flaky)
+    with pytest.raises(OSError):
+        tbl.bootstrap_transactional(root, ["k"], retries=2)
+    # every creation was retried (3 attempts for the first AppendTable)
+    assert calls["n"] == 3
+    # rollback: the already-created output table was deleted — nothing
+    # half-created remains
+    assert not os.path.exists(os.path.join(root, "output"))
+    assert not os.path.exists(os.path.join(root, "_metrics"))
+
+    monkeypatch.setattr(tbl.AppendTable, "__init__", orig)
+    out = tbl.bootstrap_transactional(root, ["k"])
+    assert set(out) == {"output", "metrics", "lineage", "quarantine"}
+    assert os.path.exists(os.path.join(root, "output", "CURRENT"))
+
+
+def test_bootstrap_rollback_keeps_preexisting(tmp_path, monkeypatch):
+    """Rollback only deletes what THIS bootstrap created (the reference
+    deletes only resources acquired inside the failed Resource scope)."""
+    root = str(tmp_path / "boot2")
+    TransactionalTable(os.path.join(root, "output"), ["k"])  # pre-existing
+
+    def boom(self, path):
+        raise OSError("nope")
+
+    monkeypatch.setattr(tbl.AppendTable, "__init__", boom)
+    with pytest.raises(OSError):
+        tbl.bootstrap_transactional(root, ["k"], retries=0)
+    assert os.path.exists(os.path.join(root, "output", "CURRENT"))
+
+
+def test_table_properties_tags(tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"])
+    t.set_properties({"team": "ingest", "pii": "false"})
+    assert t.properties() == {"team": "ingest", "pii": "false"}
+    t.set_properties({"pii": "true", "ttl_days": 30})
+    assert t.properties()["pii"] == "true" and t.properties()["ttl_days"] == "30"
+    t.set_properties({"team": None})  # delete
+    assert "team" not in t.properties()
+    # properties survive data commits
+    v_before = t.manifest()["version"]
+    assert t.properties() == t.properties()
+    assert v_before == t.manifest()["version"]

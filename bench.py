@@ -43,7 +43,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_N = int(os.environ.get("HYDRA_BENCH_N", "240000"))
+BENCH_N = int(os.environ.get("HYDRA_BENCH_N", "480000"))
+# smaller cached dataset for the untimed warmup passes (JIT/codegen/
+# allocator warming needs a representative pass, not the full input)
+WARM_N = int(os.environ.get("HYDRA_BENCH_WARM_N", "240000"))
 # state/shuffle partitioning is pinned by the checkpoint on a real
 # cluster — a resize changes executor count, not partition layout. Both
 # parallelism levels therefore run the SAME layout, sized for the
@@ -60,7 +63,7 @@ CORES_LO = int(os.environ.get("HYDRA_BENCH_CORES_LO", "2"))
 CORES_HI = int(os.environ.get("HYDRA_BENCH_CORES_HI", "8"))
 # interleaved rounds per level, best-of-k (host bursts move identical
 # runs ±50%; a ratio of two single shots is noise, see worker docstring)
-ROUNDS = int(os.environ.get("HYDRA_BENCH_ROUNDS", "4"))
+ROUNDS = int(os.environ.get("HYDRA_BENCH_ROUNDS", "3"))
 RUN_SCALING = os.environ.get("HYDRA_BENCH_SCALING", "1") != "0"
 DATA_ROOT = "/root/repo/.data/bench"
 
@@ -98,8 +101,11 @@ def run_headline(spark) -> dict[str, float]:
 
     qs = E.queries()
     # one-time JVM/codegen/scan warmup so the first query's number is the
-    # query, not session spin-up
+    # query, not session spin-up; Python workers pre-forked for the same
+    # reason (the first pandas-UDF query otherwise pays a 32-process
+    # fork + numpy-import herd — executors warm once, then serve)
     _force(spark.read.parquet(f"{SF_DIR}/events.parquet").limit(1000))
+    _warm_python_workers(spark, CPUS)
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -154,15 +160,16 @@ def _warm_python_workers(spark, n_workers: int) -> None:
 class _StreamWorker:
     """Handle on a bench_stream_worker subprocess (one per core count)."""
 
-    def __init__(self, cores: int, paths: dict, n: int):
+    def __init__(self, cores: int, paths: dict, n: int, warm_paths: dict | None = None):
         import subprocess
 
         self.cores = cores
         self.errlog = open(f"/tmp/bench_worker_c{cores}.log", "w")
+        wp = warm_paths or paths
         self.proc = subprocess.Popen(
             [sys.executable, "/root/repo/tools/bench_stream_worker.py",
              str(cores), paths["audio"], paths["transcripts"], str(n),
-             str(STREAM_PARTITIONS)],
+             str(STREAM_PARTITIONS), wp["audio"], wp["transcripts"]],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=self.errlog, text=True, bufsize=1,
         )
@@ -176,9 +183,9 @@ class _StreamWorker:
     def wait_ready(self) -> None:
         self._read_until("READY")
 
-    def run_pass(self) -> dict:
+    def run_pass(self, warm: bool = False) -> dict:
         out_root = os.path.join(DATA_ROOT, f"out_c{self.cores}")
-        self.proc.stdin.write(f"RUN {out_root}\n")
+        self.proc.stdin.write(f"{'WARM' if warm else 'RUN'} {out_root}\n")
         self.proc.stdin.flush()
         return json.loads(self._read_until("RESULT "))
 
@@ -191,7 +198,7 @@ class _StreamWorker:
             self.proc.kill()
 
 
-def run_streaming_pair(paths: dict, n: int) -> tuple[dict, dict, list]:
+def run_streaming_pair(paths: dict, n: int, warm_paths: dict | None = None) -> tuple[dict, dict, list]:
     """Measure the flagship at CORES_LO and CORES_HI, interleaved.
 
     Both workers warm up once (JVM JIT, codegen, Python-worker allocator
@@ -202,13 +209,15 @@ def run_streaming_pair(paths: dict, n: int) -> tuple[dict, dict, list]:
     slows a run down).
     """
     _warm_page_cache(paths["audio"], paths["transcripts"])
-    lo = _StreamWorker(CORES_LO, paths, n)
+    if warm_paths:
+        _warm_page_cache(warm_paths["audio"], warm_paths["transcripts"])
+    lo = _StreamWorker(CORES_LO, paths, n, warm_paths)
     lo.wait_ready()
-    hi = _StreamWorker(CORES_HI, paths, n)
+    hi = _StreamWorker(CORES_HI, paths, n, warm_paths)
     hi.wait_ready()
     try:
-        lo.run_pass()  # untimed warmup
-        hi.run_pass()
+        lo.run_pass(warm=True)  # untimed warmup over the smaller dataset
+        hi.run_pass(warm=True)
         trials = []
         for r in range(ROUNDS):
             for w in (lo, hi):
@@ -273,9 +282,10 @@ def run_scaling(n: int) -> dict:
     # synthesize once (cached, outside the timed region)
     spark = get_spark(cores=CPUS, app_name="bench-synth")
     paths = synth.ensure_dataset(spark, DATA_ROOT, n=n)
+    warm_paths = synth.ensure_dataset(spark, DATA_ROOT, n=WARM_N) if WARM_N < n else None
     spark.stop()
 
-    r_lo, r_hi, trials = run_streaming_pair(paths, n)
+    r_lo, r_hi, trials = run_streaming_pair(paths, n, warm_paths)
     eff = (r_hi["clips_per_sec"] / r_lo["clips_per_sec"]) / (CORES_HI / CORES_LO)
     return {
         "local_n": r_lo,

@@ -157,26 +157,44 @@ def decode_features(df: DataFrame) -> DataFrame:
             pcm_odd = (codec == "pcm16") & ~is_null & (lens % 2 == 1)
             err[pcm_odd] = "ValueError: pcm16 buffer length not a multiple of 2"
 
+            # Inner chunking: the gather/decode/square temporaries are
+            # 6-14 bytes per 1-2 byte sample; processed whole-batch they
+            # stream through DRAM and saturate memory bandwidth at high
+            # core counts (the decode stage's scaling limiter). Chunks
+            # of ~256K samples keep every temporary L2/L3-resident —
+            # per-row results are bit-identical (chunks hold whole rows).
+            CHUNK = 1 << 18
             for c in ("pcm16", "ulaw", "alaw"):
                 mask = (codec == c) & ~is_null & (err == None)  # noqa: E711
                 if not mask.any():
                     continue
                 rows = np.nonzero(mask)[0]
                 seg = lens[rows]
-                gathered = _ragged_gather(data, off[:-1][rows], seg)
-                if c == "pcm16":
-                    x = gathered.view("<i2").astype(np.float32) / np.float32(32767.0)
-                    sl = seg // 2
-                else:
-                    x = _LUT[c][gathered]
-                    sl = seg
-                ns[rows] = sl
-                nz = sl > 0
-                if nz.any():
-                    bounds = np.concatenate(([0], np.cumsum(sl[nz])[:-1]))
-                    r, p = _group_features(x, bounds)
-                    rms[rows[nz]] = r
-                    peak[rows[nz]] = p
+                sl_all = seg // 2 if c == "pcm16" else seg
+                ns[rows] = sl_all
+                start = 0
+                while start < len(rows):
+                    end = start + 1
+                    tot = int(seg[start])
+                    while end < len(rows) and tot + seg[end] <= CHUNK:
+                        tot += int(seg[end])
+                        end += 1
+                    r_c = rows[start:end]
+                    s_c = seg[start:end]
+                    gathered = _ragged_gather(data, off[:-1][r_c], s_c)
+                    if c == "pcm16":
+                        x = gathered.view("<i2").astype(np.float32) / np.float32(32767.0)
+                        sl = s_c // 2
+                    else:
+                        x = _LUT[c][gathered]
+                        sl = s_c
+                    nz = sl > 0
+                    if nz.any():
+                        bounds = np.concatenate(([0], np.cumsum(sl[nz])[:-1]))
+                        r, p = _group_features(x, bounds)
+                        rms[r_c[nz]] = r
+                        peak[r_c[nz]] = p
+                    start = end
 
             arrays = [rb.column(names.index(k)) for k in keep_names]
             arrays += [

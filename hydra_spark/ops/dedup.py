@@ -35,6 +35,18 @@ from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 _MERSENNE = (1 << 61) - 1
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Decouple compute parallelism from the upstream file layout.
+
+    Shingling/hashing explodes orders of magnitude more work than input
+    bytes, so a narrow scan (e.g. a single-file table = one split) must
+    not be inherited into the expansion stage — an MB-scale shuffle up
+    to the session's parallelism first is the right shape at any scale.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *(cols or ("doc_id",)))
+
+
 # ---------------------------------------------------------------- shingles
 
 def word_ngrams(
@@ -83,7 +95,7 @@ def ngram_jaccard_pairs(
     candidate join (web-scale guard; None = exact over all grams).
     Output: (d1, d2, jaccard rounded 4).
     """
-    g = word_ngrams(df, n, text_col, id_col)
+    g = word_ngrams(_spread(df, id_col), n, text_col, id_col)
     counts = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     cand_g = g
     if max_df is not None:
@@ -154,17 +166,23 @@ def _minhash_udf(n_perm: int, seed: int):
 def minhash_signatures(
     df: DataFrame, n_perm: int = 128, n: int = 3, seed: int = 42,
     text_col: str = "text", id_col: str = "doc_id",
+    keep_gram_hashes: bool = False,
 ) -> DataFrame:
     """(doc_id, sig array<long>[n_perm]) — shingle hashing JVM-side,
     signature math vectorized numpy. Gram dedup happens INSIDE the
     aggregation (collect_set, map-side partial) — no separate distinct
-    shuffle of the exploded grams."""
-    g = word_ngrams(df, n, text_col, id_col, distinct=False).select(
+    shuffle of the exploded grams. ``keep_gram_hashes`` also returns the
+    per-doc distinct gram-hash set (the LSH verifier computes exact
+    Jaccard from these sets directly — no re-shingling)."""
+    g = word_ngrams(_spread(df, id_col), n, text_col, id_col, distinct=False).select(
         F.col(id_col), F.xxhash64("gram").alias("gh")
     )
     per_doc = g.groupBy(id_col).agg(F.collect_set("gh").alias("gram_hashes"))
     mh = _minhash_udf(n_perm, seed)
-    return per_doc.select(F.col(id_col), mh(F.col("gram_hashes")).alias("sig"))
+    cols = [F.col(id_col), mh(F.col("gram_hashes")).alias("sig")]
+    if keep_gram_hashes:
+        cols.append(F.col("gram_hashes"))
+    return per_doc.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -182,8 +200,12 @@ def minhash_lsh_pairs(
     verified with exact n-gram Jaccard >= threshold on candidates only."""
     rows = n_perm // bands
     # signatures feed the banding AND (when verifying) the estimate
-    # pre-filter — persist so shingle+minhash computes once
-    sigs = minhash_signatures(df, n_perm, n, seed, text_col, id_col)
+    # pre-filter + exact verification — persist so shingle+minhash
+    # computes once. keep_gram_hashes: the verifier computes exact
+    # Jaccard from the per-doc gram-hash SETS (array_intersect), so no
+    # candidate doc is ever re-shingled (64-bit hash collisions are
+    # vanishing; output equality with the word-gram form is test-pinned)
+    sigs = minhash_signatures(df, n_perm, n, seed, text_col, id_col, keep_gram_hashes=verify)
     if verify:
         sigs = sigs.persist()
     band_cols = F.explode(
@@ -205,26 +227,27 @@ def minhash_lsh_pairs(
         return cand
     # signature-estimate pre-filter: Jaccard ≈ matching-component
     # fraction of the two signatures (the MinHash estimator). Pairs
-    # whose estimate sits far below threshold are dropped BEFORE the
-    # exact verifier re-shingles them — at 128 perms the estimator's
-    # std is ≲0.045, so a 0.15 margin is >3σ: the exact-verified output
-    # set is unchanged, the verify fan-in shrinks to near-threshold
-    # pairs only. All JVM-side (zip_with + filter + size).
+    # whose estimate sits far below threshold are dropped BEFORE exact
+    # verification — at 128 perms the estimator's std is ≲0.045, so a
+    # 0.15 margin is >3σ: the exact-verified output set is unchanged,
+    # the verify fan-in shrinks to near-threshold pairs only. Exact
+    # verification then intersects the two persisted gram-hash sets —
+    # two hash joins, zero re-shingling, all JVM-side.
     margin = 0.15
-    s1 = sigs.select(F.col(id_col).alias("d1"), F.col("sig").alias("_s1"))
-    s2 = sigs.select(F.col(id_col).alias("d2"), F.col("sig").alias("_s2"))
+    s1 = sigs.select(F.col(id_col).alias("d1"), F.col("sig").alias("_s1"), F.col("gram_hashes").alias("_g1"))
+    s2 = sigs.select(F.col(id_col).alias("d2"), F.col("sig").alias("_s2"), F.col("gram_hashes").alias("_g2"))
     est = F.size(F.filter(F.zip_with("_s1", "_s2", lambda x, y: x == y), lambda m: m)) / F.lit(n_perm)
-    cand = (
+    inter = F.size(F.array_intersect("_g1", "_g2"))
+    return (
         cand.join(s1, "d1").join(s2, "d2")
         .where(est >= threshold - margin)
-        .select("d1", "d2")
-    )
-    # the candidate set is referenced three times by the verifier —
-    # cache it so the MinHash signatures + banding compute once
-    # (Spark evicts LRU; at scale this is a small (d1, d2) table)
-    cand = cand.persist()
-    return exact_jaccard_of_pairs(df, cand, n=n, text_col=text_col, id_col=id_col).where(
-        F.col("jaccard") >= threshold
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_i") / (F.size("_g1") + F.size("_g2") - F.col("_i")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
     )
 
 
@@ -299,7 +322,7 @@ def _simhash_udf(seed: int = 0):
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).select(id_col, F.xxhash64("tok").alias("th"))
     per_doc = toks.groupBy(id_col).agg(F.collect_list("th").alias("token_hashes"))
@@ -346,7 +369,9 @@ def simhash_pairs_md5(
     The xxhash64 variant (simhash_pairs) remains the fast path; this one
     is the oracle-verifiable form.
     """
-    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    toks = _spread(df, id_col).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
     h = F.md5("tok")
     toks = toks.select(
         id_col,

@@ -25,6 +25,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Decouple score/compute parallelism from the upstream file layout
+    (a single-file corpus = one scan split; the per-vector dot-product
+    work is orders of magnitude larger than the bytes scanned)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, id_col)
+
+
 def _norm_col(vec: str):
     return F.sqrt(F.aggregate(F.col(vec), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
 
@@ -48,7 +56,7 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank).
     """
-    base = emb.select(F.col(id_col), F.col(vec_col), _norm_col(vec_col).alias("_n"))
+    base = _spread(emb, id_col).select(F.col(id_col), F.col(vec_col), _norm_col(vec_col).alias("_n"))
     q = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), F.col("_n").alias("_qn")
     )
@@ -68,7 +76,7 @@ def cosine_pairs(
     emb: DataFrame, threshold: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """All (v1 < v2) pairs with cosine >= threshold (near-dup audit)."""
-    base = emb.select(F.col(id_col), F.col(vec_col), _norm_col(vec_col).alias("_n"))
+    base = _spread(emb, id_col).select(F.col(id_col), F.col(vec_col), _norm_col(vec_col).alias("_n"))
     a = base.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("_av"), F.col("_n").alias("_an"))
     b = base.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("_bv"), F.col("_n").alias("_bn"))
     j = a.crossJoin(b).where(F.col("v1") < F.col("v2"))
@@ -132,7 +140,7 @@ def ivf_topk(
     corpus_assign = _assign_udf(centroids, 1)
     query_assign = _assign_udf(centroids, n_probe)
 
-    base = emb.select(F.col(id_col), F.col(vec_col), _norm_col(vec_col).alias("_n"))
+    base = _spread(emb, id_col).select(F.col(id_col), F.col(vec_col), _norm_col(vec_col).alias("_n"))
     c = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -206,7 +214,7 @@ def lsh_topk(
     width = n_bits // bands
     band_mask = (1 << width) - 1
     sig = _hyperplane_udf(dim, n_bits, seed)
-    base = emb.select(
+    base = _spread(emb, id_col).select(
         F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("_sig"), _norm_col(vec_col).alias("_n")
     )
 

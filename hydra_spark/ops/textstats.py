@@ -26,10 +26,18 @@ def _count_words(col, words: list[str]):
     return F.size(F.regexp_extract_all(col, F.lit(rf"\b({alt})\b"), 0)).cast("long")
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Regex scoring is compute-dense relative to bytes scanned — never
+    inherit a narrow scan layout (single-file table = one split)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, id_col)
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language guess: argmax over per-language hit counts,
     'und' (undetermined) when all zero. Ties break by language order
     en > de > fr (deterministic)."""
+    df = _spread(df, id_col)
     t = F.lower(F.col(text_col))
     en = _count_words(t, LANG_STOPWORDS["en"])
     de = _count_words(t, LANG_STOPWORDS["de"])
@@ -45,6 +53,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + score."""
+    df = _spread(df, id_col)
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = F.size(F.split(F.trim(t), r"\s+"))

@@ -421,3 +421,24 @@ def bootstrap_transactional(
 
 def drop(root: str) -> None:
     shutil.rmtree(root, ignore_errors=True)
+
+
+def drop_with_report(root: str, names: list[str] | None = None) -> list[dict]:
+    """D3: deletion program with a partial-failure report — one outcome
+    row per table; a failing delete never aborts the rest (Hydra's
+    TopicDeletionProgram collects per-topic errors into a failure list,
+    ingest/src/main/scala/hydra.ingest/programs/TopicDeletionProgram.scala).
+    """
+    names = names or ["output", "_metrics", "_lineage", "_quarantine"]
+    report = []
+    for name in names:
+        path = os.path.join(root, name)
+        if not os.path.exists(path):
+            report.append({"table": name, "status": "not_found", "error": None})
+            continue
+        try:
+            shutil.rmtree(path)
+            report.append({"table": name, "status": "deleted", "error": None})
+        except OSError as e:
+            report.append({"table": name, "status": "failed", "error": str(e)})
+    return report

@@ -51,7 +51,8 @@ def test_ann_lsh_recall_vs_brute_force(spark, emb):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5, f"ANN recall@3 {recall:.2f}"  # near-random vectors; 12-bit/r5
+    # near-random vectors; 24-bit banded buckets + hamming-1 multi-probe
+    assert recall >= 0.5, f"ANN recall@3 {recall:.2f}"
 
 
 def test_dedup_exact_groups(spark, docs):

@@ -80,3 +80,29 @@ def test_cosine_topk_broadcasts_queries(spark):
     emb = A.load(spark, SF, "embeddings")
     p = plan_of(cosine_topk(emb, list(range(5)), k=3))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ann_lsh_candidates_use_hash_join_not_nested_loop(spark):
+    """ann_lsh candidate generation must be a (band, band_sig) hash
+    EQUI-join — a hamming-radius theta-join would be a broadcast nested
+    loop over the full corpus, i.e. brute force with extra steps. The
+    exact re-rank may broadcast, but no BroadcastNestedLoopJoin is
+    allowed anywhere in the plan."""
+    from hydra_spark.ops.similarity import lsh_topk
+
+    emb = A.load(spark, SF, "embeddings")
+    p = plan_of(lsh_topk(emb, list(range(5)), k=3))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_minhash_verify_has_no_cartesian(spark):
+    """The LSH verifier must stay candidate-driven: no CartesianProduct
+    or BroadcastNestedLoopJoin anywhere (the all-pairs shapes that make
+    near-dup detection intractable at corpus scale)."""
+    from hydra_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = A.load(spark, SF, "documents")
+    p = plan_of(minhash_lsh_pairs(docs, threshold=0.5, bands=64))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

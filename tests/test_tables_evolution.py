@@ -101,3 +101,28 @@ def test_table_properties_tags(tmp_path):
     v_before = t.manifest()["version"]
     assert t.properties() == t.properties()
     assert v_before == t.manifest()["version"]
+
+
+def test_drop_with_report_partial_failure(tmp_path, monkeypatch):
+    import shutil as _sh
+
+    from hydra_spark.tables import AppendTable, TransactionalTable, drop_with_report
+
+    root = str(tmp_path / "d")
+    TransactionalTable(os.path.join(root, "output"), ["k"])
+    AppendTable(os.path.join(root, "_metrics"))
+
+    orig = _sh.rmtree
+
+    def flaky(path, **kw):
+        if path.endswith("output"):
+            raise OSError("EACCES")
+        return orig(path, **kw)
+
+    monkeypatch.setattr(tbl.shutil, "rmtree", flaky)
+    rep = {r["table"]: r for r in drop_with_report(root)}
+    # the failing table is reported, the others still processed
+    assert rep["output"]["status"] == "failed" and "EACCES" in rep["output"]["error"]
+    assert rep["_metrics"]["status"] == "deleted"
+    assert rep["_lineage"]["status"] == "not_found"
+    assert not os.path.exists(os.path.join(root, "_metrics"))

@@ -12,6 +12,9 @@ per level then estimates each level's uncontended throughput.
 
 Protocol (line-oriented):
   stdout -> "READY" after session+worker warmup
+  stdin  <- "WARM <out_root>"  (untimed pipeline pass over the SMALLER
+            cached dataset — JIT/codegen/state-store/allocator warming
+            needs a representative pass, not the full-size input)
   stdin  <- "RUN <out_root>"   (fresh checkpoint, full flagship pass)
   stdout -> "RESULT {json}"    (busy_s, wall_s, rows_out)
   stdin  <- "EXIT"
@@ -36,6 +39,8 @@ def main() -> None:
     audio_dir, transcripts_dir = sys.argv[2], sys.argv[3]
     n = int(sys.argv[4])
     stream_partitions = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+    warm_audio = sys.argv[6] if len(sys.argv) > 6 else audio_dir
+    warm_trs = sys.argv[7] if len(sys.argv) > 7 else transcripts_dir
 
     from bench import _warm_python_workers
     from hydra_spark import pipeline
@@ -54,6 +59,17 @@ def main() -> None:
             continue
         if cmd[0] == "EXIT":
             break
+        if cmd[0] == "WARM":
+            out_root = cmd[1]
+            shutil.rmtree(out_root, ignore_errors=True)
+            q, _sink, _t = pipeline.start_flagship(
+                spark, warm_audio, warm_trs, out_root,
+                files_per_trigger=128, num_partitions=stream_partitions,
+            )
+            q.processAllAvailable()
+            q.stop()
+            print("RESULT {}", flush=True)
+            continue
         if cmd[0] != "RUN":
             continue
         out_root = cmd[1]

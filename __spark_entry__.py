@@ -128,9 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S5/S7 source ops
         "bounded_tail": A.bounded_tail,
         "seek_from_offsets": A.seek_from_offsets,
-        # T9 ISO conversion / T4 defaults
+        # T9 ISO conversion / T4 defaults / T3 typed conversion
         "iso_date_convert": A.iso_date_convert,
         "defaults_fill": A.defaults_fill,
+        "json_typed_convert": A.json_typed_convert,
         # §2.8 stream-stream interval join (batch form)
         "interval_join": A.interval_join,
         # CEP sequence detection (batch form of the stateful detector)
@@ -291,6 +292,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS k_filled,
                    CAST(json_extract_string(props,'$.k') IS NULL AS INT) AS was_defaulted
             FROM events
+        """,
+        "json_typed_convert": """
+            WITH p AS (SELECT event_id,
+                    CASE WHEN event_id % 25 = 0 THEN 'x' || props ELSE props END AS payload
+                  FROM events)
+            SELECT event_id,
+                   CASE WHEN json_valid(payload) THEN CAST(json_extract_string(payload,'$.k') AS BIGINT) END AS k_typed,
+                   CASE WHEN NOT json_valid(payload) THEN 'JsonConversionError:malformed payload' END AS conv_error
+            FROM p
         """,
         "media_feature_dims": """
             WITH m AS (SELECT 'doc-' || doc_id AS media_id, sha256(text) AS sha,

@@ -66,7 +66,7 @@ def latest_wins_hash(
 
 
 _STATE_SCHEMA = T.StructType(
-    [T.StructField("ts_ms", T.LongType()), T.StructField("value", T.StringType())]
+    [T.StructField("ts_us", T.LongType()), T.StructField("value", T.StringType())]
 )
 
 
@@ -91,18 +91,23 @@ def latest_wins_stream(
         cur_ts, cur_val = state.get if state.exists else (None, None)
         changed = False
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for _, row in pdf.iterrows():
-                ts_ms = int(row[ts_col].value // 10**6)
-                if cur_ts is None or ts_ms >= cur_ts:
-                    cur_ts, cur_val = ts_ms, row[value_col]
-                    changed = True
+            if not len(pdf):
+                continue
+            # vectorized winner: stable sort by ts, take the last row —
+            # identical to scanning rows with a >= update rule (ties go
+            # to the latest-processed row). Microsecond precision = the
+            # batch form's native timestamp comparison.
+            row = pdf.sort_values(ts_col, kind="stable").iloc[-1]
+            ts_us = int(row[ts_col].value // 1000)
+            if cur_ts is None or ts_us >= cur_ts:
+                cur_ts, cur_val = ts_us, row[value_col]
+                changed = True
         if changed:
             state.update((cur_ts, cur_val))
             yield pd.DataFrame(
                 {
                     key_col: [key[0]],
-                    ts_col: [pd.Timestamp(cur_ts, unit="ms")],
+                    ts_col: [pd.Timestamp(cur_ts, unit="us")],
                     value_col: [cur_val],
                     "deleted": [cur_val is None],
                 }

@@ -491,3 +491,24 @@ def schema_evolution(spark, sf_dir):
     return t.read(spark).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
+
+
+def json_typed_convert(spark, sf_dir):
+    """T3 payload->typed conversion with augmented error detail
+    (Hydra JSON->Avro conversion, StringToGenericRecord.scala:74-85;
+    error augmentation IngestionFlow.scala:79-89): malformed payloads
+    become a typed NULL + error column — conversion never fails rows."""
+    ev = load(spark, sf_dir, "events")
+    payload = (
+        F.when(F.col("event_id") % 25 == 0, F.concat(F.lit("x"), F.col("props")))
+        .otherwise(F.col("props"))
+    )
+    parsed = F.from_json(payload, "k BIGINT")
+    k_typed = parsed.getField("k")
+    return ev.select(
+        "event_id",
+        k_typed.alias("k_typed"),
+        F.when(
+            k_typed.isNull(), F.lit("JsonConversionError:malformed payload")
+        ).alias("conv_error"),
+    )

@@ -87,3 +87,33 @@ def test_rejects_reach_quarantine_despite_watermark(spark, dataset):
     out = t["output"].read(spark)
     bad_in_out = out.where(F.col("clip_id").startswith("bad-")).count()
     assert bad_in_out == 0
+
+
+def test_whole_batch_quarantined_executor_side(spark, dataset):
+    """A bad codec can reject an entire batch — the quarantine write
+    must stay executor-side (never a driver collect) and the run must
+    stay exactly-once under that load."""
+    root = "/root/repo/.data/tests/quar_big"
+    aud = os.path.join(root, "audio")
+    trs = os.path.join(root, "trs")
+    out_root = os.path.join(root, "out")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.copytree(dataset["transcripts"], trs)
+    # every clip's codec corrupted -> 100% decode-error batch
+    src = spark.read.parquet(dataset["audio"])
+    n_src = src.count()
+    src.withColumn("codec", F.lit("corrupt")).repartition(8).write.parquet(aud)
+
+    q, sink, t = pipeline.start_flagship(spark, aud, trs, out_root, files_per_trigger=64)
+    q.processAllAvailable()
+    flush_sentinels(spark, aud, trs)
+    q.processAllAvailable()
+    q.stop()
+
+    quar = t["quarantine"].read(spark).where(~F.col("clip_id").startswith("sentinel"))
+    n_quar = quar.count()
+    assert n_quar == n_src, (n_quar, n_src)
+    assert quar.where(~F.col("reject_reason").startswith("DecodeError")).count() == 0
+    # rejected rows never reach the output table
+    out = t["output"].read(spark).where(~F.col("clip_id").startswith("sentinel"))
+    assert out.count() == 0

@@ -47,6 +47,31 @@ def _clips(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def clips_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + tumbling window rollup, SQL-checkable projection: counts
+    and sample totals are byte-derivable (pcm16 = 2 B/sample, G.711 =
+    1 B/sample), so DuckDB can verify the window bucketing and decode
+    sample accounting end-to-end on the deterministic clips fixture;
+    rms/peak (not SQL-expressible) stay in clips_window_rollup with the
+    numpy-parity pytest oracle."""
+    from hydra_spark.functions.decode import decode_features
+    from hydra_spark.operators import windows as win
+
+    decoded = decode_features(_clips(spark)).where(F.col("decode_error").isNull())
+    out = win.tumbling(
+        decoded, "10 seconds", "codec",
+        aggs=[
+            F.count("*").alias("n_clips"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum(F.col("transcript").isNotNull().cast("long")).alias("n_with_transcript"),
+        ],
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "codec", "n_clips", "total_samples", "n_with_transcript",
+    )
+
+
 def clips_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + tumbling window rollup, batch form of the flagship
     streaming pipeline (rows-only check; full parity in pytest)."""
@@ -132,6 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iso_date_convert": A.iso_date_convert,
         "defaults_fill": A.defaults_fill,
         "json_typed_convert": A.json_typed_convert,
+        # S1/S2/R2 request-table ingest endpoint flow + status report
+        "ingest_report": A.ingest_report,
         # §2.8 stream-stream interval join (batch form)
         "interval_join": A.interval_join,
         # CEP sequence detection (batch form of the stateful detector)
@@ -190,7 +217,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (stubbed codec, real Spark plumbing)
         "media_feature_dims": media_feature_dims,
         "frame_sample": frame_sample,
-        # streaming engine (clips) — rows-only here, full parity in pytest
+        # streaming engine (clips): sample_rollup + normalize are
+        # oracle-checked against the deterministic fixture parquet;
+        # clips_window_rollup (rms/peak — audio math, not SQL) stays
+        # rows-only with the numpy-parity pytest oracle
+        "clips_sample_rollup": clips_sample_rollup,
         "clips_window_rollup": clips_window_rollup,
         "clips_transcript_normalize": clips_transcript_normalize,
     }
@@ -301,6 +332,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN json_valid(payload) THEN CAST(json_extract_string(payload,'$.k') AS BIGINT) END AS k_typed,
                    CASE WHEN NOT json_valid(payload) THEN 'JsonConversionError:malformed payload' END AS conv_error
             FROM p
+        """,
+        "ingest_report": """
+            WITH p AS (SELECT event_id,
+                    CASE WHEN event_id % 40 = 0
+                         THEN '{"k":' || json_extract_string(props,'$.k') || ',"pad":"' || repeat('x',500) || '"}'
+                         WHEN event_id % 25 = 0 THEN 'x' || props
+                         ELSE props END AS payload
+                  FROM events),
+            r AS (SELECT event_id, payload,
+                    CASE WHEN length(payload) > 300 THEN 'RecordTooLarge:' || length(payload) || '>300'
+                         WHEN NOT json_valid(payload) THEN 'JsonConversionError:malformed payload'
+                    END AS error
+                  FROM p)
+            SELECT event_id,
+                   CASE WHEN error IS NULL THEN json_extract_string(payload,'$.k') END AS key,
+                   CASE WHEN error IS NULL THEN CAST(json_extract_string(payload,'$.k') AS BIGINT) END AS k_typed,
+                   CASE WHEN error IS NULL THEN 200
+                        WHEN error LIKE 'RecordTooLarge%' THEN 413
+                        ELSE 400 END AS status_code,
+                   error
+            FROM r
         """,
         "media_feature_dims": """
             WITH m AS (SELECT 'doc-' || doc_id AS media_id, sha256(text) AS sha,
@@ -565,6 +617,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS text_norm
             FROM documents
+        """,
+        # clips fixture oracles read the deterministic parquet the Spark
+        # side synthesizes (absolute path; seeded, content-stable)
+        "clips_sample_rollup": """
+            WITH c AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+                       WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL),
+            s AS (SELECT CAST(floor(epoch(event_time)/10)*10 AS BIGINT) AS window_start_s, codec,
+                         CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                              ELSE octet_length(bytes) END AS n_samples,
+                         transcript
+                  FROM c)
+            SELECT window_start_s, codec, count(*) AS n_clips,
+                   CAST(sum(n_samples) AS BIGINT) AS total_samples,
+                   CAST(sum(CASE WHEN transcript IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_transcript
+            FROM s GROUP BY 1,2
+        """,
+        "clips_transcript_normalize": """
+            SELECT clip_id,
+                   trim(regexp_replace(lower(nfc_normalize(transcript)), '\\s+', ' ', 'g')) AS transcript_norm
+            FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+            WHERE transcript IS NOT NULL
         """,
         "binary_metadata": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -512,3 +512,32 @@ def json_typed_convert(spark, sf_dir):
             k_typed.isNull(), F.lit("JsonConversionError:malformed payload")
         ).alias("conv_error"),
     )
+
+
+def ingest_report(spark, sf_dir):
+    """S1/S2/R2: the request-table ingest-endpoint flow — per-request
+    validate -> convert -> key-extract -> status report
+    (IngestionFlowV2.scala:94-100, IngestionEndpoint.scala:89-96)."""
+    from hydra_spark.ingest_flow import ingest_requests
+
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    payload = (
+        F.when(
+            F.col("event_id") % 40 == 0,
+            F.concat(F.lit('{"k":'), k, F.lit(',"pad":"'), F.repeat(F.lit("x"), 500), F.lit('"}')),
+        )
+        .when(F.col("event_id") % 25 == 0, F.concat(F.lit("x"), F.col("props")))
+        .otherwise(F.col("props"))
+    )
+    reqs = ev.select(F.col("event_id"), payload.alias("payload"))
+    out = ingest_requests(
+        reqs, "k BIGINT, pad STRING", key_path="$.k", max_bytes=300, id_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        "key",
+        F.col("value").getField("k").alias("k_typed"),
+        "status_code",
+        "error",
+    )

@@ -341,7 +341,8 @@ def oracle_sql() -> dict[str, str]:
                          ELSE props END AS payload
                   FROM events),
             r AS (SELECT event_id, payload,
-                    CASE WHEN length(payload) > 300 THEN 'RecordTooLarge:' || length(payload) || '>300'
+                    CASE WHEN octet_length(encode(payload)) > 300
+                         THEN 'RecordTooLarge:' || octet_length(encode(payload)) || '>300'
                          WHEN NOT json_valid(payload) THEN 'JsonConversionError:malformed payload'
                     END AS error
                   FROM p)

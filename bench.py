@@ -27,7 +27,8 @@ Two parts, one JSON line on stdout (last line):
    tools/bench_stream_worker.py).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, HYDRA_BENCH_N
-(clips for the streaming bench, default 240000), HYDRA_BENCH_CORES_LO/HI,
+(clips for the streaming bench, default 480000; HYDRA_BENCH_WARM_N =
+untimed-warmup dataset, default 240000), HYDRA_BENCH_CORES_LO/HI,
 HYDRA_BENCH_ROUNDS, HYDRA_BENCH_SCALING=0 to skip part 2 (during
 iteration).
 """

@@ -57,14 +57,16 @@ def ingest_requests(
     parsed = parsed.dropFields(corrupt)
     key = F.get_json_object(payload, key_path) if key_path else F.lit(None).cast("string")
 
-    too_large = (
-        (F.length(payload) > max_bytes) if max_bytes is not None else F.lit(False)
-    )
+    # octet_length: the reference bounds SERIALIZED record bytes
+    # (checkSizeLimit), not characters — a multi-byte UTF-8 payload must
+    # not slip under the limit
+    n_bytes = F.octet_length(payload)
+    too_large = (n_bytes > max_bytes) if max_bytes is not None else F.lit(False)
     error = (
         F.when(payload.isNull(), F.lit("MissingPayload"))
         .when(
             too_large,
-            F.concat(F.lit("RecordTooLarge:"), F.length(payload).cast("string"), F.lit(f">{max_bytes}")),
+            F.concat(F.lit("RecordTooLarge:"), n_bytes.cast("string"), F.lit(f">{max_bytes}")),
         )
         .when(malformed, F.lit("JsonConversionError:malformed payload"))
         .when(

@@ -193,18 +193,22 @@ def minhash_lsh_pairs(
     n: int = 3,
     seed: int = 42,
     verify: bool = True,
+    estimate_margin: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH; optionally
     verified with exact n-gram Jaccard >= threshold on candidates only."""
     rows = n_perm // bands
-    # signatures feed the banding AND (when verifying) the estimate
-    # pre-filter + exact verification — persist so shingle+minhash
-    # computes once. keep_gram_hashes: the verifier computes exact
-    # Jaccard from the per-doc gram-hash SETS (array_intersect), so no
-    # candidate doc is ever re-shingled (64-bit hash collisions are
-    # vanishing; output equality with the word-gram form is test-pinned)
+    # signatures feed the banding AND (when verifying) the exact
+    # verification — persist so shingle+minhash computes once.
+    # keep_gram_hashes: the verifier computes exact Jaccard from the
+    # per-doc gram-hash SETS (array_intersect), so no candidate doc is
+    # ever re-shingled (64-bit hash collisions are vanishing; output
+    # equality with the word-gram form is test-pinned). The cache lives
+    # until LRU eviction — a returned lazy plan cannot unpersist itself;
+    # sessions building dedup over MANY corpora should
+    # spark.catalog.clearCache() between runs.
     sigs = minhash_signatures(df, n_perm, n, seed, text_col, id_col, keep_gram_hashes=verify)
     if verify:
         sigs = sigs.persist()
@@ -225,23 +229,25 @@ def minhash_lsh_pairs(
     cand = a.join(b, ["band", "bh"]).where(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
     if not verify:
         return cand
-    # signature-estimate pre-filter: Jaccard ≈ matching-component
-    # fraction of the two signatures (the MinHash estimator). Pairs
-    # whose estimate sits far below threshold are dropped BEFORE exact
-    # verification — at 128 perms the estimator's std is ≲0.045, so a
-    # 0.15 margin is >3σ: the exact-verified output set is unchanged,
-    # the verify fan-in shrinks to near-threshold pairs only. Exact
-    # verification then intersects the two persisted gram-hash sets —
+    # Exact verification intersects the two persisted gram-hash sets —
     # two hash joins, zero re-shingling, all JVM-side.
-    margin = 0.15
+    # ``estimate_margin`` (opt-in): additionally pre-filter candidates
+    # whose MinHash-estimated Jaccard (matching-component fraction)
+    # falls below threshold-margin before computing the intersection —
+    # a probabilistic cut (estimator std ≲0.045 at 128 perms, so a 0.15
+    # margin is >3σ) for web-scale runs where even the intersect compute
+    # on junk candidates matters. Left OFF by default so the output is
+    # DETERMINISTICALLY equal to the exact-Jaccard filter (the property
+    # the driver's oracle check and the equality test pin).
     s1 = sigs.select(F.col(id_col).alias("d1"), F.col("sig").alias("_s1"), F.col("gram_hashes").alias("_g1"))
     s2 = sigs.select(F.col(id_col).alias("d2"), F.col("sig").alias("_s2"), F.col("gram_hashes").alias("_g2"))
-    est = F.size(F.filter(F.zip_with("_s1", "_s2", lambda x, y: x == y), lambda m: m)) / F.lit(n_perm)
+    cand = cand.join(s1, "d1").join(s2, "d2")
+    if estimate_margin is not None:
+        est = F.size(F.filter(F.zip_with("_s1", "_s2", lambda x, y: x == y), lambda m: m)) / F.lit(n_perm)
+        cand = cand.where(est >= threshold - estimate_margin)
     inter = F.size(F.array_intersect("_g1", "_g2"))
     return (
-        cand.join(s1, "d1").join(s2, "d2")
-        .where(est >= threshold - margin)
-        .withColumn("_i", inter)
+        cand.withColumn("_i", inter)
         .withColumn(
             "jaccard",
             F.round(F.col("_i") / (F.size("_g1") + F.size("_g2") - F.col("_i")), 4),

@@ -104,7 +104,8 @@ def _assign_udf(centroids: np.ndarray, n_probe: int):
         batch — no per-row Python."""
         mask = np.array([v is not None for v in vecs])
         out = np.empty(len(vecs), dtype=object)
-        out[~mask] = [[] for _ in range((~mask).sum())]
+        for i in np.nonzero(~mask)[0]:  # element-wise: a bulk boolean
+            out[i] = []  # assignment would coerce [[]...] to a 2-D array
         if mask.any():
             V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
             sims = V @ centroids.T  # (batch, n_lists)

@@ -40,6 +40,20 @@ class SchemaCompatError(ValueError):
     """Incompatible schema evolution (SchemaRegistry compat validation)."""
 
 
+def _project_to_schema(df: DataFrame, fields: list[dict]) -> DataFrame:
+    """Project a file-group DataFrame onto a registered schema: fields
+    the group's files lack become their declared default (else NULL);
+    fields present keep their stored values, explicit NULLs included."""
+    cols = []
+    for f in fields:
+        if f["name"] in df.columns:
+            c = F.col(f["name"]).cast(f["type"])
+        else:
+            c = F.lit(f.get("default")).cast(f["type"])
+        cols.append(c.alias(f["name"]))
+    return df.select(*cols)
+
+
 class TransactionalTable:
     def __init__(self, path: str, key_cols: list[str], n_buckets: int = 32):
         self.path = path
@@ -158,25 +172,45 @@ class TransactionalTable:
             # empty table with correct key schema is the caller's problem;
             # return empty DF from schema hint if any data ever existed
             return spark.createDataFrame([], schema="dummy string").limit(0)
+        return self._read_files(spark, files, m)
+
+    def _read_files(self, spark: SparkSession, files: list[str], m: dict) -> DataFrame:
         versions = m.get("schema_versions", [])
         if not versions:
             return spark.read.parquet(*files)
-        # evolution-aware read: files written under older schema versions
-        # lack the newer columns — mergeSchema unions the footers, then
-        # the latest registered schema projects/fills (default if
-        # declared, else NULL). mergeSchema reads every footer, so it is
-        # only enabled for tables that actually registered schemas.
-        df = spark.read.option("mergeSchema", "true").parquet(*files)
-        cols = []
-        for f in versions[-1]["fields"]:
-            if f["name"] in df.columns:
-                c = F.col(f["name"])
-                if f.get("default") is not None:
-                    c = F.coalesce(c, F.lit(f["default"]).cast(f["type"]))
-            else:
-                c = F.lit(f.get("default")).cast(f["type"])
-            cols.append(c.alias(f["name"]))
-        return df.select(*cols)
+        # evolution-aware read: files are grouped by the schema id they
+        # were COMMITTED under (tracked in the manifest); a field absent
+        # from a file's schema reads as its declared default, while an
+        # explicit NULL written under a schema that HAS the field stays
+        # NULL — exactly Avro reader/writer-schema resolution
+        # (SchemaRegistry compat model), never a blanket coalesce.
+        fs = m.get("file_schema", {})
+        groups: dict[int, list[str]] = {}
+        for p in files:
+            groups.setdefault(int(fs.get(p, 0)), []).append(p)
+        parts = []
+        for sid, paths in sorted(groups.items()):
+            # sid 0 = pre-registry legacy files (mixed schemas possible)
+            reader = spark.read.option("mergeSchema", "true") if sid == 0 else spark.read
+            d = reader.parquet(*paths)
+            parts.append(_project_to_schema(d, versions[-1]["fields"]))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _record_file_schemas(self, m: dict, new_files: dict) -> None:
+        """Stamp newly-added files with the current latest schema id and
+        prune entries for files no longer referenced."""
+        versions = m.get("schema_versions", [])
+        if not versions:
+            return
+        sid = versions[-1]["id"]
+        live = {p for fl in new_files.values() for p in fl}
+        fs = {p: v for p, v in m.get("file_schema", {}).items() if p in live}
+        for p in live:
+            fs.setdefault(p, sid)
+        m["file_schema"] = fs
 
     def is_empty(self) -> bool:
         return not any(self.manifest()["files"].values())
@@ -204,7 +238,11 @@ class TransactionalTable:
         read_files = [p for b in affected for p in old_files.get(int(b), [])]
 
         if read_files:
-            existing = spark.read.parquet(*read_files).withColumn("_bucket", self._bucket_col())
+            # existing rows are re-read through the same schema
+            # resolution as read() — a copy-on-write rewrite materializes
+            # declared defaults into the new files (Avro reader
+            # semantics at rewrite time), keeping explicit NULLs intact
+            existing = self._read_files(spark, read_files, m).withColumn("_bucket", self._bucket_col())
             if has_delete and "_delete" not in existing.columns:
                 existing = existing.withColumn("_delete", F.lit(False))
             # anti-join out keys present in the batch, then union the batch
@@ -240,6 +278,7 @@ class TransactionalTable:
             if int(b) not in written:
                 new_files[str(b)] = []
 
+        self._record_file_schemas(m, new_files)
         self._write_manifest(
             {
                 **m,  # carry schema_versions / properties forward
@@ -314,6 +353,7 @@ class TransactionalTable:
                     for f in os.listdir(os.path.join(out_dir, entry))
                     if f.endswith(".parquet")
                 ]
+        self._record_file_schemas(m, new_files)
         self._write_manifest(
             {
                 **m,  # carry schema_versions / properties forward
@@ -399,7 +439,10 @@ def bootstrap_transactional(
     out: dict = {}
     try:
         for name, path, ctor in specs:
-            existed = os.path.exists(path)
+            if not os.path.exists(path):
+                # recorded BEFORE the ctor runs: a ctor that fails midway
+                # (dirs made, manifest write failed) must still roll back
+                created.append(path)
             last: Exception | None = None
             for _attempt in range(retries + 1):
                 try:
@@ -410,8 +453,6 @@ def bootstrap_transactional(
                     last = e
             if last is not None:
                 raise last
-            if not existed:
-                created.append(path)
         return out
     except Exception:
         for p in created:  # rollback: delete-on-failure, newest first

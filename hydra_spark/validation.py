@@ -117,7 +117,11 @@ def _prune_expr(col: Column, actual: T.DataType, expected: T.DataType) -> Column
             for f in expected.fields
             if f.name in have
         ]
-        return F.struct(*kept)
+        if not kept:  # no shared subfields: field prunes to a NULL struct
+            return F.lit(None).cast(expected)
+        # NULL parents stay NULL — a bare F.struct(...) is never null, so
+        # it would rebuild a NULL record as a struct of NULLs
+        return F.when(col.isNotNull(), F.struct(*kept))
     return col
 
 
@@ -184,7 +188,9 @@ def admission_checks(
         reason = F.when(
             F.col("event_time") <= F.timestamp_seconds(F.lit(0)), F.lit("InvalidLogicalType:timestamp-millis<=0")
         ).otherwise(reason)
-    for c in uuid_cols or []:
+    # reversed: each wrap becomes the OUTERMOST when, so the FIRST listed
+    # column's failure must be wrapped last to actually win
+    for c in reversed(uuid_cols or []):
         # null passes (nullable-union semantics); non-null must parse
         # (StringToGenericRecord.scala:63-64)
         reason = F.when(

@@ -150,3 +150,16 @@ def test_minhash_bands64_equals_exact(spark, docs):
     exact = {(r.d1, r.d2, r.jaccard) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     got = {(r.d1, r.d2, r.jaccard) for r in minhash_lsh_pairs(docs, threshold=0.5, bands=64).collect()}
     assert got == exact
+
+
+def test_ivf_tolerates_null_embedding(spark, emb):
+    from hydra_spark.ops.similarity import ivf_topk
+
+    base = emb.select("vec_id", "embedding").limit(50)
+    with_null = base.unionByName(
+        base.limit(1).select(
+            F.lit(99999).alias("vec_id"), F.lit(None).cast("array<float>").alias("embedding")
+        )
+    )
+    out = ivf_topk(with_null, [0, 1], k=2, n_lists=4, n_probe=4)
+    assert out.count() > 0  # no TypeError from the vectorized assign UDF

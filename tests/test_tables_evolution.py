@@ -126,3 +126,22 @@ def test_drop_with_report_partial_failure(tmp_path, monkeypatch):
     assert rep["_metrics"]["status"] == "deleted"
     assert rep["_lineage"]["status"] == "not_found"
     assert not os.path.exists(os.path.join(root, "_metrics"))
+
+
+def test_evolution_explicit_null_stays_null(spark, tmp_path):
+    """Avro resolution semantics: the default fills only fields ABSENT
+    from the writer's schema — an explicit NULL written under a schema
+    that has the field reads back as NULL, not the default."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.register_schema(V1)
+    t.merge_upsert(spark, spark.createDataFrame(pd.DataFrame({"k": ["a"], "v": [1]})), 0)
+    t.register_schema(V2)
+    import pyspark.sql.functions as F
+
+    with_null = spark.createDataFrame(pd.DataFrame({"k": ["b"], "v": [2]})).withColumn(
+        "w", F.lit(None).cast("double")
+    )
+    t.merge_upsert(spark, with_null, 1)
+    got = {r.k: r.w for r in t.read(spark).collect()}
+    assert got["a"] == 1.5  # absent column -> default
+    assert got["b"] is None  # explicit NULL stays NULL

@@ -162,3 +162,35 @@ def test_publish_to_missing_table_fails_fast(spark, tmp_path):
     t = TransactionalTable(str(tmp_path / "yes" / "output"), ["k"])
     sink = ExactlyOnceSink.for_existing(str(tmp_path / "yes"), ["k"])
     assert sink.tables["output"].path == t.path
+
+
+def test_nested_relaxed_preserves_null_struct(spark):
+    """A NULL record must stay NULL after relaxed pruning — not become a
+    struct of NULLs (review finding: bare F.struct() is never null)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField(
+                "rec",
+                T.StructType(
+                    [T.StructField("a", T.StringType()), T.StructField("extra", T.IntegerType())]
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(1, None), (2, ("x", 9))], schema)
+    expected = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("rec", T.StructType([T.StructField("a", T.StringType())])),
+        ]
+    )
+    rows = {r.id: r.rec for r in V.conform_schema_nested(df, expected, strict=False).collect()}
+    assert rows[1] is None
+    assert rows[2].a == "x"
+
+
+def test_uuid_first_listed_column_wins(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": ["bad-a"], "b": ["bad-b"]}))
+    out = V.admission_checks(df, enforce_positive_ts=False, uuid_cols=["a", "b"])
+    assert out.first().reject_reason == "InvalidUuid:a:bad-a"

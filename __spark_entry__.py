@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": A.nation_revenue,
         # training-data: dedup
         "dedup_exact": docs(D.dedup_exact),
+        # registered form carries the default-on max_df stop-gram guard
+        # (a no-op at fixture scale — max observed df 25 << 10k — so the
+        # output still equals the exact oracle; max_df=None = audit form)
         "ngram_jaccard_pairs": docs(lambda d: D.ngram_jaccard_pairs(d, threshold=0.05)),
         # bands=64 (2 rows/band): P[miss | J>=0.5] = (1-J^2)^64 <= 1e-8,
         # so the exact-verified output deterministically equals the
@@ -326,7 +329,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_typed_convert": """
             WITH p AS (SELECT event_id,
-                    CASE WHEN event_id % 25 = 0 THEN 'x' || props ELSE props END AS payload
+                    CASE WHEN event_id % 25 = 0 THEN 'x' || props
+                         WHEN event_id % 30 = 7 THEN '{"other":1}'
+                         ELSE props END AS payload
                   FROM events)
             SELECT event_id,
                    CASE WHEN json_valid(payload) THEN CAST(json_extract_string(payload,'$.k') AS BIGINT) END AS k_typed,
@@ -341,9 +346,11 @@ def oracle_sql() -> dict[str, str]:
                          ELSE props END AS payload
                   FROM events),
             r AS (SELECT event_id, payload,
-                    CASE WHEN octet_length(encode(payload)) > 300
+                    CASE WHEN payload IS NULL THEN 'MissingPayload'
+                         WHEN octet_length(encode(payload)) > 300
                          THEN 'RecordTooLarge:' || octet_length(encode(payload)) || '>300'
                          WHEN NOT json_valid(payload) THEN 'JsonConversionError:malformed payload'
+                         WHEN json_extract_string(payload,'$.k') IS NULL THEN 'MissingKey:$.k'
                     END AS error
                   FROM p)
             SELECT event_id,

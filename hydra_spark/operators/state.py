@@ -17,11 +17,52 @@ Spark-first mapping:
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Custom-state layout version for the applyInPandasWithState operators
+# (latest_wins_stream here, sequence_matches_stream in operators/cep.py).
+# v2: state timestamps are MICROseconds. v1 stored milliseconds in the
+# same physical type (long / array<long>), so a v1 checkpoint resumed by
+# v2 code would silently misread every value 1000x — the marker below
+# turns that silent corruption into a loud failure.
+STATE_FORMAT_VERSION = 2
+
+
+class StateFormatError(RuntimeError):
+    """Checkpoint was written under an incompatible custom-state layout."""
+
+
+def pin_state_format(checkpoint_dir: str, version: int = STATE_FORMAT_VERSION) -> None:
+    """Record / verify the custom-state layout version of a checkpoint.
+
+    Call before (re)starting any streaming query whose checkpoint holds
+    applyInPandasWithState state. First start writes a marker file; a
+    resume under a different layout version raises StateFormatError
+    instead of letting same-physical-type state (e.g. the v1 ms -> v2 us
+    change) be silently reinterpreted. Spark validates state *schema*
+    on resume, but not semantics — this marker covers the gap.
+    """
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_hydra_state_format.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            found = json.load(f).get("state_format_version")
+        if found != version:
+            raise StateFormatError(
+                f"checkpoint {checkpoint_dir} has state format v{found}, engine expects "
+                f"v{version}; resume would misinterpret state — start from a fresh checkpoint"
+            )
+        return
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"state_format_version": version}, f)
+    os.rename(tmp, marker)
 
 
 def latest_wins_batch(

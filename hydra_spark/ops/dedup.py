@@ -85,14 +85,20 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.05,
     n: int = 3,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """All (d1 < d2) pairs with exact n-gram Jaccard >= threshold.
 
-    max_df: drop grams appearing in more than max_df docs before the
-    candidate join (web-scale guard; None = exact over all grams).
+    max_df (DEFAULT-ON scale guard): grams appearing in more than
+    max_df docs are dropped before the candidate join — one web-scale
+    stop-gram would otherwise fan out O(df^2) join rows (10^12 for a
+    1M-doc gram). A gram shared by >10k documents is boilerplate, not a
+    dedup signal; pairs whose similarity rests ONLY on such stop-grams
+    can be missed. Pass ``max_df=None`` for the exact-audit form (the
+    driver fixtures' max observed df is 25, so the default is provably
+    a no-op there and the output stays equal to the exact oracle).
     Output: (d1, d2, jaccard rounded 4).
     """
     g = word_ngrams(_spread(df, id_col), n, text_col, id_col)
@@ -308,20 +314,50 @@ def exact_jaccard_of_pairs(
 
 # ---------------------------------------------------------------- simhash
 
+def _sim_bit_votes(h: np.ndarray, lens: np.ndarray, n_bits: int) -> np.ndarray:
+    """Stacked simhash bit votes: ALL docs' token hashes concatenated
+    into one (total_tokens,) array -> per-doc signed bit sums via
+    add.reduceat — no per-doc Python loop (the MinHash stacked-matrix
+    pattern applied to simhash). Returns (n_docs, n_bits) vote counts;
+    caller thresholds >0 and packs bits."""
+    bits = ((h[:, None] >> np.arange(n_bits, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int32
+    )
+    bounds = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ones = np.add.reduceat(bits, bounds, axis=0)  # (n_docs, n_bits)
+    return 2 * ones - lens[:, None]  # ones - zeros
+
+
+def _sim_slices(lens: np.ndarray, nonempty: np.ndarray, bytes_per_tok: int):
+    """Yield index slices of `nonempty` whose total token count keeps the
+    stacked bit matrix ~128 MB (same slicing as the MinHash UDF)."""
+    max_toks = max(1, (128 << 20) // bytes_per_tok)
+    pos = 0
+    while pos < len(nonempty):
+        end = pos + 1
+        tot = lens[nonempty[pos]]
+        while end < len(nonempty) and tot + lens[nonempty[end]] <= max_toks:
+            tot += lens[nonempty[end]]
+            end += 1
+        yield nonempty[pos:end]
+        pos = end
+
+
 def _simhash_udf(seed: int = 0):
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
     @F.pandas_udf(T.LongType())
     def simhash(token_hashes: pd.Series) -> pd.Series:
         out = np.zeros(len(token_hashes), dtype=np.int64)
-        for k, hs in enumerate(token_hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            h = np.asarray(hs, dtype=np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            v = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for bit in np.nonzero(v > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bit)
-            out[k] = np.int64(sig.astype(np.int64))
+        lens = np.array([0 if hs is None else len(hs) for hs in token_hashes], dtype=np.int64)
+        nonempty = np.nonzero(lens > 0)[0]
+        for rows in _sim_slices(lens, nonempty, bytes_per_tok=4 * 64):
+            h = np.concatenate(
+                [np.asarray(token_hashes.iloc[i], dtype=np.int64) for i in rows]
+            ).astype(np.uint64)
+            v = _sim_bit_votes(h, lens[rows], 64)
+            sigs = ((v > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+            out[rows] = sigs.astype(np.int64)
         return pd.Series(out)
 
     return simhash
@@ -337,25 +373,38 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def _simhash_halves_udf():
+    weights = (np.int64(1) << np.arange(32, dtype=np.int64)).astype(np.int64)
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def simhash2(token_hashes: pd.Series) -> pd.Series:
         """(sig_hi, sig_lo) from per-token (hi32, lo32) hash pairs —
         two 32-bit halves sidestep 64-bit sign overflow in engines whose
         integer shifts are signed (the DuckDB oracle builds the exact
-        same halves in SQL)."""
-        out = []
-        for hs in token_hashes:
-            if hs is None or len(hs) == 0:
-                out.append([0, 0])
-                continue
-            h = np.asarray(hs, dtype=np.int64).reshape(-1, 2)  # (n_tok, [hi, lo])
-            sig = []
-            for half in (0, 1):
-                bits = (h[:, half, None] >> np.arange(32)[None, :]) & 1
-                v = (2 * bits - 1).sum(axis=0)
-                sig.append(int(((v > 0).astype(np.int64) << np.arange(32)).sum()))
-            out.append(sig)
-        return pd.Series(out)
+        same halves in SQL). Stacked-matrix + reduceat — no per-doc
+        Python loop."""
+        out = np.empty(len(token_hashes), dtype=object)
+        # element length is 2*n_tok (flattened hi/lo pairs)
+        lens = np.array(
+            [0 if hs is None else len(hs) // 2 for hs in token_hashes], dtype=np.int64
+        )
+        for i in np.nonzero(lens == 0)[0]:
+            out[i] = [0, 0]
+        nonempty = np.nonzero(lens > 0)[0]
+        for rows in _sim_slices(lens, nonempty, bytes_per_tok=4 * 64):
+            h = np.concatenate(
+                [np.asarray(token_hashes.iloc[i], dtype=np.int64) for i in rows]
+            ).reshape(-1, 2)  # (total_tok, [hi, lo])
+            # both halves vote in one stacked pass: treat hi/lo as two
+            # 32-bit lanes of one 64-wide bit matrix
+            packed = (h[:, 0].astype(np.uint64) << np.uint64(32)) | (
+                h[:, 1].astype(np.uint64) & np.uint64(0xFFFFFFFF)
+            )
+            v = _sim_bit_votes(packed, lens[rows], 64)  # (docs, 64): lo 0-31 = lo half
+            sig_lo = ((v[:, :32] > 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+            sig_hi = ((v[:, 32:] > 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+            for j, i in enumerate(rows):
+                out[i] = [int(sig_hi[j]), int(sig_lo[j])]
+        return pd.Series(list(out))
 
     return simhash2
 

@@ -190,6 +190,11 @@ def start_flagship(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sink(finish_batch(batch_df), batch_id)
 
+    # fail loudly if this checkpoint was written under an older custom-
+    # state layout (ms vs us in same-typed state — see operators/state.py)
+    from hydra_spark.operators.state import pin_state_format
+
+    pin_state_format(os.path.join(out_root, "_checkpoint"))
     q = (
         joined.writeStream.foreachBatch(process)
         .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))

@@ -501,15 +501,22 @@ def json_typed_convert(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     payload = (
         F.when(F.col("event_id") % 25 == 0, F.concat(F.lit("x"), F.col("props")))
+        # valid JSON that simply lacks "k": k_typed is NULL but there is
+        # NO conversion error — malformation must be detected from the
+        # PERMISSIVE corrupt-record column, never from field-nullness
+        .when(F.col("event_id") % 30 == 7, F.lit('{"other":1}'))
         .otherwise(F.col("props"))
     )
-    parsed = F.from_json(payload, "k BIGINT")
-    k_typed = parsed.getField("k")
+    corrupt = "_corrupt_record"
+    parsed = F.from_json(
+        payload, f"k BIGINT, {corrupt} STRING", {"columnNameOfCorruptRecord": corrupt}
+    )
     return ev.select(
         "event_id",
-        k_typed.alias("k_typed"),
+        parsed.getField("k").alias("k_typed"),
         F.when(
-            k_typed.isNull(), F.lit("JsonConversionError:malformed payload")
+            parsed.getField(corrupt).isNotNull(),
+            F.lit("JsonConversionError:malformed payload"),
         ).alias("conv_error"),
     )
 

@@ -40,6 +40,38 @@ class SchemaCompatError(ValueError):
     """Incompatible schema evolution (SchemaRegistry compat validation)."""
 
 
+class InvalidKeySchemaError(ValueError):
+    """Declared primary-key fields are missing or nullable
+    (SchemaWrapper.validate semantics — avro/src/main/scala/hydra/avro/
+    util/SchemaWrapper.scala:26-53: a key field must exist in the schema
+    and must not be a nullable union)."""
+
+
+def primary_keys(fields: list[dict], properties: dict[str, str] | None = None) -> list[str]:
+    """Schema-declared primary keys — the ``hydra.key`` property analog
+    (SchemaWrapper.scala:10-24 parses the schema's ``hydra.key`` prop,
+    comma-separated). Precedence: table property ``hydra.key``, else any
+    fields flagged ``"key": true`` in the field specs, else []."""
+    prop = (properties or {}).get("hydra.key")
+    if prop:
+        return [k.strip() for k in prop.split(",") if k.strip()]
+    return [f["name"] for f in fields if f.get("key")]
+
+
+def validate_key_fields(key_cols: list[str], fields: list[dict]) -> None:
+    """Reject schemas whose declared key columns are absent or nullable
+    (``"nullable": true`` = the Avro nullable-union marker). Runs at
+    registration time so a doomed keyed table is never created —
+    SchemaWrapper.validate's fail-fast contract."""
+    by_name = {f["name"]: f for f in fields}
+    missing = [k for k in key_cols if k not in by_name]
+    nullable = [k for k in key_cols if k in by_name and by_name[k].get("nullable")]
+    if missing or nullable:
+        raise InvalidKeySchemaError(
+            f"invalid primary key schema: missing={missing} nullable={nullable}"
+        )
+
+
 def _project_to_schema(df: DataFrame, fields: list[dict]) -> DataFrame:
     """Project a file-group DataFrame onto a registered schema: fields
     the group's files lack become their declared default (else NULL);
@@ -116,6 +148,9 @@ class TransactionalTable:
           * anything else (removal, type change) -> SchemaCompatError
         """
         fields = [dict(f) for f in fields]
+        # key fields must exist and be non-nullable, checked here (at
+        # registration) so a doomed keyed table fails fast, not per-merge
+        validate_key_fields(self.key_cols, fields)
         m = self.manifest()
         versions = m.get("schema_versions", [])
         if versions and versions[-1]["fields"] == fields:
@@ -396,9 +431,15 @@ class AppendTable:
         df.write.mode("overwrite").parquet(out_dir)
 
     def read(self, spark: SparkSession) -> DataFrame:
+        # mergeSchema: an append table can have writers with different
+        # column sets (e.g. quarantine receives the sink's decoded-row
+        # split AND the admission side stream's raw ingest columns);
+        # without it Spark infers from one sampled file and the other
+        # writer's columns silently disappear based on file order.
         return (
             spark.read.option("recursiveFileLookup", "true")
             .option("pathGlobFilter", "*.parquet")
+            .option("mergeSchema", "true")
             .parquet(self.path)
         )
 

@@ -249,3 +249,23 @@ def test_cep_sequence_stream_matches_batch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert {(r.k, r.seq_start, r.seq_end) for r in got} == expected
+
+
+def test_state_format_marker(tmp_path):
+    """A checkpoint written under an older custom-state layout must fail
+    loudly on resume, not silently reinterpret ms-as-us state."""
+    import json
+
+    import pytest
+
+    from hydra_spark.operators.state import (
+        STATE_FORMAT_VERSION, StateFormatError, pin_state_format,
+    )
+
+    cp = str(tmp_path / "cp")
+    pin_state_format(cp)          # first start writes the marker
+    pin_state_format(cp)          # same-version resume is fine
+    with open(f"{cp}/_hydra_state_format.json", "w") as f:
+        json.dump({"state_format_version": STATE_FORMAT_VERSION - 1}, f)
+    with pytest.raises(StateFormatError):
+        pin_state_format(cp)      # old-format checkpoint -> loud failure

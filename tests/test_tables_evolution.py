@@ -89,18 +89,41 @@ def test_bootstrap_rollback_keeps_preexisting(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(root, "output", "CURRENT"))
 
 
-def test_table_properties_tags(tmp_path):
-    t = TransactionalTable(str(tmp_path / "t"), ["k"])
+def test_table_properties_tags(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
     t.set_properties({"team": "ingest", "pii": "false"})
     assert t.properties() == {"team": "ingest", "pii": "false"}
     t.set_properties({"pii": "true", "ttl_days": 30})
     assert t.properties()["pii"] == "true" and t.properties()["ttl_days"] == "30"
     t.set_properties({"team": None})  # delete
     assert "team" not in t.properties()
-    # properties survive data commits
+    # properties survive data commits: an actual merge bumps the manifest
+    # version and must carry the property map forward unchanged
+    props_before = t.properties()
     v_before = t.manifest()["version"]
-    assert t.properties() == t.properties()
-    assert v_before == t.manifest()["version"]
+    t.merge_upsert(spark, spark.createDataFrame(pd.DataFrame({"k": ["a"], "v": [1]})), 0)
+    assert t.manifest()["version"] > v_before
+    assert t.properties() == props_before
+
+
+def test_key_schema_validation(tmp_path):
+    """SchemaWrapper.validate semantics: declared key fields must exist
+    and must not be nullable unions (SchemaWrapper.scala:26-53)."""
+    from hydra_spark.tables import InvalidKeySchemaError, primary_keys
+
+    t = TransactionalTable(str(tmp_path / "t"), ["k"])
+    with pytest.raises(InvalidKeySchemaError):  # key column absent
+        t.register_schema([{"name": "v", "type": "bigint"}])
+    with pytest.raises(InvalidKeySchemaError):  # nullable key
+        t.register_schema(
+            [{"name": "k", "type": "string", "nullable": True}, {"name": "v", "type": "bigint"}]
+        )
+    assert t.schema_version() is None  # failed registers leave no version
+    assert t.register_schema(V1) == 1  # non-nullable key passes
+
+    # hydra.key property parsing (SchemaWrapper.scala:10-24)
+    assert primary_keys(V1, {"hydra.key": "k, v"}) == ["k", "v"]
+    assert primary_keys([{"name": "k", "type": "string", "key": True}] + V1[1:], {}) == ["k"]
 
 
 def test_drop_with_report_partial_failure(tmp_path, monkeypatch):

@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # T9 ISO conversion / T4 defaults / T3 typed conversion
         "iso_date_convert": A.iso_date_convert,
         "defaults_fill": A.defaults_fill,
+        "defaults_fill_nested": A.defaults_fill_nested,
         "json_typed_convert": A.json_typed_convert,
         # S1/S2/R2 request-table ingest endpoint flow + status report
         "ingest_report": A.ingest_report,
@@ -313,19 +314,67 @@ def oracle_sql() -> dict[str, str]:
             FROM lag
         """,
         "iso_date_convert": """
+            WITH s AS (SELECT event_id,
+                    CASE WHEN event_id % 50 = 0 THEN 'not-a-date'
+                         WHEN event_id % 7 = 1 THEN strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%dT%H:%M:%S') || '+02:00'
+                         WHEN event_id % 7 = 2 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z'
+                         WHEN event_id % 7 = 3 THEN strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%dT%H:%M:%S') || '+02'
+                         ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS iso
+                  FROM events)
             SELECT event_id,
                    epoch_us(coalesce(
-                     try_strptime(CASE WHEN event_id % 50 = 0 THEN 'not-a-date'
-                                       ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END,
-                                  '%Y-%m-%dT%H:%M:%S'),
+                     try_strptime(iso, '%Y-%m-%dT%H:%M:%S%z')::TIMESTAMP,
+                     try_strptime(iso, '%Y-%m-%dT%H:%M:%SZ'),
+                     try_strptime(iso, '%Y-%m-%dT%H:%M:%S'),
                      TIMESTAMP '1970-01-01 00:00:00')) AS parsed_us
-            FROM events
+            FROM s
         """,
         "defaults_fill": """
             SELECT event_id,
                    coalesce(CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS k_filled,
                    CAST(json_extract_string(props,'$.k') IS NULL AS INT) AS was_defaulted
             FROM events
+        """,
+        "defaults_fill_nested": """
+            WITH p AS (SELECT event_id,
+                    CASE CAST(event_id % 4 AS INT)
+                      WHEN 0 THEN '{"k":' || json_extract_string(props,'$.k')
+                           || ',"rec":{"a":10,"b":"x"},"cfg":{},"arr":[{"a":1},{}],"m":{"x":{"a":2}}}'
+                      WHEN 1 THEN '{"rec":{"a":11}}'
+                      WHEN 2 THEN '{"k":' || json_extract_string(props,'$.k') || ',"rec":null,"cfg":null}'
+                      ELSE '{"arr":[{"a":3,"b":"y"},{"b":"z"}],"m":{"p":{},"q":{"a":4}}}'
+                    END AS payload
+                  FROM events)
+            SELECT event_id,
+                   CASE WHEN list_contains(json_keys(payload),'k')
+                        THEN CAST(json_extract_string(payload,'$.k') AS BIGINT) ELSE 7 END AS k_filled,
+                   CASE WHEN list_contains(json_keys(payload),'rec') AND json_type(payload,'$.rec') != 'NULL'
+                        THEN CASE WHEN list_contains(json_keys(payload,'$.rec'),'a')
+                                  THEN CAST(json_extract_string(payload,'$.rec.a') AS BIGINT) ELSE 1 END
+                   END AS rec_a,
+                   CASE WHEN list_contains(json_keys(payload),'rec') AND json_type(payload,'$.rec') != 'NULL'
+                        THEN CASE WHEN list_contains(json_keys(payload,'$.rec'),'b')
+                                  THEN json_extract_string(payload,'$.rec.b') ELSE 'd' END
+                   END AS rec_b,
+                   CASE WHEN NOT list_contains(json_keys(payload),'cfg') THEN 42
+                        WHEN json_type(payload,'$.cfg') = 'NULL' THEN NULL
+                        ELSE CASE WHEN list_contains(json_keys(payload,'$.cfg'),'v')
+                                  THEN CAST(json_extract_string(payload,'$.cfg.v') AS BIGINT) ELSE 3 END
+                   END AS cfg_v,
+                   CASE WHEN list_contains(json_keys(payload),'arr')
+                        THEN CAST(json_array_length(payload,'$.arr') AS BIGINT) ELSE 0 END AS arr_n,
+                   CASE WHEN list_contains(json_keys(payload),'arr')
+                        THEN CAST(coalesce(list_sum(
+                          [coalesce(CAST(json_extract_string(payload,'$.arr['||x||'].a') AS BIGINT), 5)
+                           FOR x IN generate_series(0, CAST(json_array_length(payload,'$.arr') AS INT) - 1)]
+                        ), 0) AS BIGINT) ELSE 0 END AS arr_sum_a,
+                   CASE WHEN list_contains(json_keys(payload),'m') AND json_type(payload,'$.m') != 'NULL'
+                        THEN CAST(coalesce(list_sum(
+                          [coalesce(CAST(json_extract_string(payload,'$.m.'||mk||'.a') AS BIGINT), 9)
+                           FOR mk IN json_keys(payload,'$.m')]
+                        ), 0) AS BIGINT)
+                   END AS m_sum_a
+            FROM p
         """,
         "json_typed_convert": """
             WITH p AS (SELECT event_id,

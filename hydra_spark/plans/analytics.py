@@ -191,16 +191,28 @@ def json_key_extraction(spark, sf_dir):
 # ------------------------------------------------------ T9 ISO-date conversion
 
 def iso_date_convert(spark, sf_dir):
-    """Lenient ISO parse with EPOCH fallback on failure (T9 —
-    avro/src/main/scala/hydra/avro/convert/ISODateConverter.scala:16-48).
-    Every 50th event carries an unparseable string; it must land on
-    EPOCH, not fail the query."""
+    """Lenient 3-format ISO parse with EPOCH fallback (T9 —
+    avro/src/main/scala/hydra/avro/convert/ISODateConverter.scala:31-43
+    tries OffsetDateTime, then LocalDateTime, then yyyy-MM-dd'T'HH:mm:ssX
+    before the EPOCH fallback). The fixture exercises all accepted forms:
+    offset-with-colon (+02:00), Zulu (Z), short offset (+02), local, and
+    an unparseable string that must land on EPOCH, not fail the query."""
     ev = load(spark, sf_dir, "events")
-    iso = F.when(F.col("event_id") % 50 == 0, F.lit("not-a-date")).otherwise(
-        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss")
+    ts = F.col("ts").cast("timestamp")
+    local = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    # offset forms are shifted so every variant encodes the SAME instant
+    shifted = F.date_format(ts + F.expr("interval 2 hours"), "yyyy-MM-dd'T'HH:mm:ss")
+    iso = (
+        F.when(F.col("event_id") % 50 == 0, F.lit("not-a-date"))
+        .when(F.col("event_id") % 7 == 1, F.concat(shifted, F.lit("+02:00")))
+        .when(F.col("event_id") % 7 == 2, F.concat(local, F.lit("Z")))
+        .when(F.col("event_id") % 7 == 3, F.concat(shifted, F.lit("+02")))
+        .otherwise(local)
     )
     parsed = F.coalesce(
-        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),  # OffsetDateTime
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss")),  # LocalDateTime
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),  # ssX short offset
         F.timestamp_seconds(F.lit(0)),  # EPOCH fallback
     )
     return ev.select("event_id", F.unix_micros(parsed).alias("parsed_us"))
@@ -217,6 +229,64 @@ def defaults_fill(spark, sf_dir):
         "event_id",
         F.coalesce(k, F.lit(0)).alias("k_filled"),
         k.isNull().cast("int").alias("was_defaulted"),
+    )
+
+
+NESTED_DEFAULTS_SPEC = [
+    {"name": "k", "type": "bigint", "default": 7},
+    {"name": "rec", "type": {"struct": [
+        {"name": "a", "type": "bigint", "default": 1},
+        {"name": "b", "type": "string", "default": "d"},
+    ]}},  # record with NO default: absent -> null
+    {"name": "cfg", "type": {"struct": [{"name": "v", "type": "bigint", "default": 3}]},
+     "default": {"v": 42}},  # record WITH default: absent -> {v:42}, explicit null -> null
+    {"name": "arr", "type": {"array": {"struct": [
+        {"name": "a", "type": "bigint", "default": 5},
+        {"name": "b", "type": "string"},
+    ]}}, "default": []},
+    {"name": "m", "type": {"map": {"struct": [{"name": "a", "type": "bigint", "default": 9}]}}},
+]
+
+
+def defaults_fill_nested(spark, sf_dir):
+    """T4 recursive defaults fill through records/arrays/maps
+    (SimpleStringToGenericRecord.scala:23-70): absent fields take their
+    declared default at EVERY nesting depth; explicit nulls stay null;
+    array elements and map values recurse. Output flattened to scalars
+    so the value-hash comparison is representation-stable."""
+    from hydra_spark.functions.defaults import fill_defaults_json
+
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    payload = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(F.lit('{"k":'), k,
+                     F.lit(',"rec":{"a":10,"b":"x"},"cfg":{},"arr":[{"a":1},{}],"m":{"x":{"a":2}}}')),
+        )
+        .when(F.col("event_id") % 4 == 1, F.lit('{"rec":{"a":11}}'))
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.concat(F.lit('{"k":'), k, F.lit(',"rec":null,"cfg":null}')),
+        )
+        .otherwise(F.lit('{"arr":[{"a":3,"b":"y"},{"b":"z"}],"m":{"p":{},"q":{"a":4}}}'))
+    )
+    df = ev.select("event_id", payload.alias("payload"))
+    filled = fill_defaults_json("payload", NESTED_DEFAULTS_SPEC)
+    return df.select(
+        "event_id",
+        filled.getField("k").alias("k_filled"),
+        filled.getField("rec").getField("a").alias("rec_a"),
+        filled.getField("rec").getField("b").alias("rec_b"),
+        filled.getField("cfg").getField("v").alias("cfg_v"),
+        F.size(filled.getField("arr")).cast("long").alias("arr_n"),
+        F.aggregate(
+            filled.getField("arr"), F.lit(0).cast("long"), lambda acc, x: acc + x.getField("a")
+        ).alias("arr_sum_a"),
+        F.aggregate(
+            F.map_values(filled.getField("m")), F.lit(0).cast("long"),
+            lambda acc, x: acc + x.getField("a"),
+        ).alias("m_sum_a"),
     )
 
 

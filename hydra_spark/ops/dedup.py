@@ -230,6 +230,10 @@ def minhash_lsh_pairs(
     buckets = sigs.select(F.col(id_col), band_cols).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+    # candidate pairs via bucket self-join. (A groupBy(band,bh) +
+    # collect_list + in-bucket pair-expansion variant was measured
+    # SLOWER warm — 1.9-2.2s vs 1.3s at sf0.1 — the nested transform
+    # explode costs more than the second cached-scan side of the join.)
     a = buckets.select(F.col(id_col).alias("d1"), "band", "bh")
     b = buckets.select(F.col(id_col).alias("d2"), "band", "bh")
     cand = a.join(b, ["band", "bh"]).where(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
@@ -245,6 +249,10 @@ def minhash_lsh_pairs(
     # on junk candidates matters. Left OFF by default so the output is
     # DETERMINISTICALLY equal to the exact-Jaccard filter (the property
     # the driver's oracle check and the equality test pin).
+    # Measured (sf0.1, local[32], warm best-of-3): margin=0.15 gives
+    # 1.87s vs 2.04s default with IDENTICAL output — a ~8% cut at this
+    # candidate volume (7.7k); the filter's value grows with junk-
+    # candidate share, i.e. with corpus size.
     s1 = sigs.select(F.col(id_col).alias("d1"), F.col("sig").alias("_s1"), F.col("gram_hashes").alias("_g1"))
     s2 = sigs.select(F.col(id_col).alias("d2"), F.col("sig").alias("_s2"), F.col("gram_hashes").alias("_g2"))
     cand = cand.join(s1, "d1").join(s2, "d2")

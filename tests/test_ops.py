@@ -51,10 +51,10 @@ def test_ann_lsh_recall_vs_brute_force(spark, emb):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # near-random vectors (LSH's hardest case); 24-bit banded buckets +
-    # hamming-1 multi-probe measures 0.71 — pin no regression below 0.6.
-    # bands=6 reaches 0.99 at proportionally larger candidate sets.
-    assert recall >= 0.6, f"ANN recall@3 {recall:.2f}"
+    # near-random vectors (LSH's hardest case); 40-bit / 8-band buckets
+    # + hamming-1 multi-probe measure 0.97 at sf0.1 — pin no regression
+    # below 0.9 (old 24/4 config measured 0.71).
+    assert recall >= 0.9, f"ANN recall@3 {recall:.2f}"
 
 
 def test_dedup_exact_groups(spark, docs):

@@ -3,14 +3,15 @@
 ``entry(spark)`` — flagship tumbling-window CEP aggregation at sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 +
 training-data ops); each callable (spark, sf_dir) -> DataFrame.
-``oracle_sql()`` — DuckDB ANSI-SQL equivalents. Omitted only for
-(a) approximate ops whose recall<1 is the point (ann_lsh_topk, pruned
-ann_ivf_topk, simhash_dup_fast) — each has an exact-probing or
-exact-hash sibling that IS oracle-checked (ann_ivf_fullprobe,
-simhash_dup) plus recall tests in pytest — and (b) the audio-decode
-clips_* ops (SQL cannot decode PCM; numpy-oracle parity in pytest).
-minhash_lsh_dup and simhash_dup are deterministically equal to their
-exact oracles by construction (bands=64 / pigeonhole chunking).
+``oracle_sql()`` — DuckDB ANSI-SQL equivalents. Omitted ONLY for the
+two approximate-ANN ops whose recall<1 is the point (ann_lsh_topk,
+pruned ann_ivf_topk) — each has an exact-probing sibling that IS
+oracle-checked (ann_ivf_fullprobe, embedding_cosine_topk) plus recall
+tests in pytest. The audio rollup (clips_window_rollup) is oracled via
+the fixture's expected-features parquet (per-row float64 decode written
+at synthesis time); minhash_lsh_dup and simhash_dup are
+deterministically equal to their exact oracles by construction
+(bands=64 / pigeonhole chunking).
 """
 
 from __future__ import annotations
@@ -44,6 +45,11 @@ def _clips(spark: SparkSession) -> DataFrame:
     path = os.path.join(root, f"clips_n{_CLIPS_N}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth.write_clips(spark, path, _CLIPS_N, files=8)
+    fpath = path + "_features"
+    if not os.path.exists(os.path.join(fpath, "_SUCCESS")):
+        # expected decode features via the per-row float64 oracle path —
+        # lets DuckDB verify the vectorized decode + window rollup
+        synth.write_clip_features(spark, path, fpath)
     return spark.read.parquet(path)
 
 
@@ -74,7 +80,11 @@ def clips_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def clips_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + tumbling window rollup, batch form of the flagship
-    streaming pipeline (rows-only check; full parity in pytest)."""
+    streaming pipeline. Oracle-checked end-to-end: DuckDB joins the
+    fixture's expected-features parquet (per-row float64 decode written
+    at synthesis time, synth.write_clip_features) and recomputes the
+    rollup — verifying the vectorized LUT/reduceat decode AND the
+    window bucketing against an independent computation path."""
     from hydra_spark.functions.decode import decode_features
     from hydra_spark.operators import windows as win
 
@@ -690,6 +700,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN transcript IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_transcript
             FROM s GROUP BY 1,2
         """,
+        "clips_window_rollup": """
+            WITH c AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+                       WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL),
+            f AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500_features/*.parquet')),
+            j AS (SELECT CAST(floor(epoch(c.event_time)/10)*10 AS BIGINT) AS window_start_s,
+                         c.codec, f.n_samples, f.rms_db, f.peak, c.transcript
+                  FROM c JOIN f USING (clip_id)
+                  WHERE f.n_samples IS NOT NULL)
+            SELECT window_start_s, codec, count(*) AS n_clips,
+                   CAST(sum(n_samples) AS BIGINT) AS total_samples,
+                   round(avg(rms_db), 4) AS avg_rms_db,
+                   round(max(peak), 4) AS max_peak,
+                   CAST(sum(CASE WHEN transcript IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_transcript
+            FROM j GROUP BY 1,2
+        """,
         "clips_transcript_normalize": """
             SELECT clip_id,
                    trim(regexp_replace(lower(nfc_normalize(transcript)), '\\s+', ' ', 'g')) AS transcript_norm
@@ -701,9 +726,8 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(text, 1, 16)) AS prefix_md5
             FROM documents
         """,
-        # minhash_lsh_dup / simhash_dup / ann_lsh_topk: approximate by
-        # construction — rows-only here; recall asserted vs the exact
-        # baselines in tests/test_ops.py.
-        # clips_*: audio decode is not expressible in SQL — parity vs the
-        # shared numpy oracle asserted in tests/test_clips_parity.py.
+        # ann_lsh_topk / ann_ivf_topk: approximate by construction
+        # (recall<1 is the point) — rows-only here; recall asserted vs
+        # the exact baselines in tests/test_ops.py, and the IVF
+        # machinery is oracle-proven exactly by ann_ivf_fullprobe.
     }

@@ -16,21 +16,23 @@ Two parts, one JSON line on stdout (last line):
    plus scaling efficiency ``(thr_4N / thr_N)/4``. Also rewrites
    ``BENCH/BASELINE.md``.
 
-   The measured pair is local[2] vs local[8]: a raw-CPU control
+   TWO pairs are measured: local[2] vs local[8] (primary gate) and
+   local[4] vs local[16] (wider-width evidence). A raw-CPU control
    experiment (independent single-threaded numpy workers, no Spark)
    shows this host's own parallel-delivery ceiling for PERFECT code is
    ~0.97 at 2 -> 8 procs, ~0.85-0.91 at 4 -> 16, and ~0.71 at 8 -> 32 —
-   the larger literal pairs cannot evidence engine scalability on this
-   box. The control is re-measured and written into BENCH/BASELINE.md
-   each run. Timed passes are INTERLEAVED across the two levels and
-   best-of-k per level (host bursts move identical runs ±50%; see
-   tools/bench_stream_worker.py).
+   wider literal pairs measure the virtualized host as much as the
+   engine. Each pair's control is re-measured and written into
+   BENCH/BASELINE.md each run. Timed passes are INTERLEAVED across the
+   two levels of a pair and best-of-k per level (host bursts move
+   identical runs ±50%; see tools/bench_stream_worker.py).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, HYDRA_BENCH_N
 (clips for the streaming bench, default 480000; HYDRA_BENCH_WARM_N =
-untimed-warmup dataset, default 240000), HYDRA_BENCH_CORES_LO/HI,
-HYDRA_BENCH_ROUNDS, HYDRA_BENCH_SCALING=0 to skip part 2 (during
-iteration).
+untimed-warmup dataset, default 240000), HYDRA_BENCH_PAIRS
+("lo:hi:state_partitions,..." — default "2:8:8,4:16:32": the primary
+2->8 gate plus the wider 4->16 evidence pair), HYDRA_BENCH_ROUNDS,
+HYDRA_BENCH_SCALING=0 to skip part 2 (during iteration).
 """
 
 from __future__ import annotations
@@ -48,20 +50,23 @@ BENCH_N = int(os.environ.get("HYDRA_BENCH_N", "480000"))
 # smaller cached dataset for the untimed warmup passes (JIT/codegen/
 # allocator warming needs a representative pass, not the full input)
 WARM_N = int(os.environ.get("HYDRA_BENCH_WARM_N", "240000"))
-# state/shuffle partitioning is pinned by the checkpoint on a real
-# cluster — a resize changes executor count, not partition layout. Both
-# parallelism levels therefore run the SAME layout, sized for the
-# larger config (= its core count: the stream-stream join opens 4
-# RocksDB instances per partition, so partitions beyond cores only add
-# store-open/commit overhead — measured ~3% at the 4N level).
-STREAM_PARTITIONS = 8
-# N and 4N cores for the two-cluster-size criterion. 2 -> 8 because the
-# no-Spark CPU control (re-measured every run, written to
-# BENCH/BASELINE.md) shows this host's own parallel-delivery ceiling:
-# ~0.97 for 2->8, ~0.85-0.91 for 4->16, ~0.71 for 8->32 — the larger
-# pairs cannot evidence >=0.8 for ANY engine on this box.
-CORES_LO = int(os.environ.get("HYDRA_BENCH_CORES_LO", "2"))
-CORES_HI = int(os.environ.get("HYDRA_BENCH_CORES_HI", "8"))
+# N-and-4N pairs for the two-cluster-size criterion, each as
+# "lo:hi:state_partitions". State/shuffle partitioning is pinned by the
+# checkpoint on a real cluster — a resize changes executor count, not
+# partition layout — so BOTH levels of a pair run the same layout,
+# sized for the larger config (pair 2 uses 2x the large config's cores
+# per the sizing guidance in session.py; pair 1 keeps round-2's layout
+# for cross-round comparability). Pair 1 (2->8) is the primary gate:
+# the no-Spark CPU control (re-measured every run, written to
+# BENCH/BASELINE.md) shows this host's own parallel-delivery ceiling is
+# ~0.97 for 2->8 but only ~0.85-0.91 for 4->16 and ~0.71 for 8->32 —
+# the larger pairs measure the virtualized host as much as the engine.
+# Pair 2 (4->16) is reported alongside as the wider-width evidence the
+# round-2 verdict asked for, with its own same-run ceiling control.
+PAIRS = [
+    tuple(int(x) for x in p.split(":"))
+    for p in os.environ.get("HYDRA_BENCH_PAIRS", "2:8:8,4:16:32").split(",")
+]
 # interleaved rounds per level, best-of-k (host bursts move identical
 # runs ±50%; a ratio of two single shots is noise, see worker docstring)
 ROUNDS = int(os.environ.get("HYDRA_BENCH_ROUNDS", "3"))
@@ -161,7 +166,10 @@ def _warm_python_workers(spark, n_workers: int) -> None:
 class _StreamWorker:
     """Handle on a bench_stream_worker subprocess (one per core count)."""
 
-    def __init__(self, cores: int, paths: dict, n: int, warm_paths: dict | None = None):
+    def __init__(
+        self, cores: int, paths: dict, n: int, stream_partitions: int,
+        warm_paths: dict | None = None,
+    ):
         import subprocess
 
         self.cores = cores
@@ -170,7 +178,7 @@ class _StreamWorker:
         self.proc = subprocess.Popen(
             [sys.executable, "/root/repo/tools/bench_stream_worker.py",
              str(cores), paths["audio"], paths["transcripts"], str(n),
-             str(STREAM_PARTITIONS), wp["audio"], wp["transcripts"]],
+             str(stream_partitions), wp["audio"], wp["transcripts"]],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=self.errlog, text=True, bufsize=1,
         )
@@ -199,8 +207,11 @@ class _StreamWorker:
             self.proc.kill()
 
 
-def run_streaming_pair(paths: dict, n: int, warm_paths: dict | None = None) -> tuple[dict, dict, list]:
-    """Measure the flagship at CORES_LO and CORES_HI, interleaved.
+def run_streaming_pair(
+    paths: dict, n: int, cores_lo: int, cores_hi: int, stream_partitions: int,
+    warm_paths: dict | None = None,
+) -> tuple[dict, dict, list]:
+    """Measure the flagship at cores_lo and cores_hi, interleaved.
 
     Both workers warm up once (JVM JIT, codegen, Python-worker allocator
     pools — on a real cluster executors warm the same way on their first
@@ -212,9 +223,9 @@ def run_streaming_pair(paths: dict, n: int, warm_paths: dict | None = None) -> t
     _warm_page_cache(paths["audio"], paths["transcripts"])
     if warm_paths:
         _warm_page_cache(warm_paths["audio"], warm_paths["transcripts"])
-    lo = _StreamWorker(CORES_LO, paths, n, warm_paths)
+    lo = _StreamWorker(cores_lo, paths, n, stream_partitions, warm_paths)
     lo.wait_ready()
-    hi = _StreamWorker(CORES_HI, paths, n, warm_paths)
+    hi = _StreamWorker(cores_hi, paths, n, stream_partitions, warm_paths)
     hi.wait_ready()
     try:
         lo.run_pass(warm=True)  # untimed warmup over the smaller dataset
@@ -237,7 +248,7 @@ def run_streaming_pair(paths: dict, n: int, warm_paths: dict | None = None) -> t
         return {**b, "clips_in": n, "n_trials": len(cand),
                 "clips_per_sec_incl_startup": round(n / b["wall_s"], 1)}
 
-    return best(CORES_LO), best(CORES_HI), trials
+    return best(cores_lo), best(cores_hi), trials
 
 
 def _cpu_control(n_lo: int = 4, n_hi: int = 16) -> dict:
@@ -276,7 +287,10 @@ def _burn(_):
     return s
 
 
-def run_scaling(n: int) -> dict:
+def run_scaling(n: int) -> list[dict]:
+    """Measure every configured (N, 4N) pair sequentially (pairs never
+    share a host window; within a pair, passes interleave). Returns one
+    result dict per pair; the first pair is the primary gate."""
     from hydra_spark import synth
     from hydra_spark.session import get_spark
 
@@ -286,26 +300,66 @@ def run_scaling(n: int) -> dict:
     warm_paths = synth.ensure_dataset(spark, DATA_ROOT, n=WARM_N) if WARM_N < n else None
     spark.stop()
 
-    r_lo, r_hi, trials = run_streaming_pair(paths, n, warm_paths)
-    eff = (r_hi["clips_per_sec"] / r_lo["clips_per_sec"]) / (CORES_HI / CORES_LO)
-    return {
-        "local_n": r_lo,
-        "local_4n": r_hi,
-        "scaling_efficiency": round(eff, 3),
-        "cpu_control": _cpu_control(CORES_LO, CORES_HI),
-        "trials": trials,
-    }
+    out = []
+    for cores_lo, cores_hi, sp in PAIRS:
+        r_lo, r_hi, trials = run_streaming_pair(paths, n, cores_lo, cores_hi, sp, warm_paths)
+        eff = (r_hi["clips_per_sec"] / r_lo["clips_per_sec"]) / (cores_hi / cores_lo)
+        out.append({
+            "cores_lo": cores_lo,
+            "cores_hi": cores_hi,
+            "stream_partitions": sp,
+            "local_n": r_lo,
+            "local_4n": r_hi,
+            "scaling_efficiency": round(eff, 3),
+            "cpu_control": _cpu_control(cores_lo, cores_hi),
+            "trials": trials,
+        })
+    return out
 
 
-def write_bench_md(stream: dict) -> None:
+def write_bench_md(pairs: list[dict]) -> None:
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    rl, rh = stream["local_n"], stream["local_4n"]
-    hw = stream["cpu_control"]
-    norm = round(stream["scaling_efficiency"] / hw["hw_scaling_efficiency"], 3) if hw["hw_scaling_efficiency"] else None
-    trial_rows = "\n".join(
-        f"| {t['round']} | local[{t['cores']}] | {t['busy_s']} | {t['clips_per_sec']} |"
-        for t in stream.get("trials", [])
-    )
+
+    def pair_section(idx: int, stream: dict) -> str:
+        rl, rh = stream["local_n"], stream["local_4n"]
+        hw = stream["cpu_control"]
+        norm = (
+            round(stream["scaling_efficiency"] / hw["hw_scaling_efficiency"], 3)
+            if hw["hw_scaling_efficiency"] else None
+        )
+        trial_rows = "\n".join(
+            f"| {t['round']} | local[{t['cores']}] | {t['busy_s']} | {t['clips_per_sec']} |"
+            for t in stream.get("trials", [])
+        )
+        role = "primary gate" if idx == 0 else "wider-width evidence"
+        return f"""## Pair {idx + 1}: local[{rl['cores']}] -> local[{rh['cores']}] ({role})
+
+| config | clips in | rows out | wall (s) | busy (s) | sustained clips/sec | incl. startup |
+|---|---|---|---|---|---|---|
+| local[{rl['cores']}]  (N)  | {rl['clips_in']} | {rl['rows_out']} | {rl['wall_s']} | {rl['busy_s']} | {rl['clips_per_sec']} | {rl['clips_per_sec_incl_startup']} |
+| local[{rh['cores']}] (4N) | {rh['clips_in']} | {rh['rows_out']} | {rh['wall_s']} | {rh['busy_s']} | {rh['clips_per_sec']} | {rh['clips_per_sec_incl_startup']} |
+
+**Scaling efficiency (thr_4N / thr_N) / 4 = {stream['scaling_efficiency']}**
+(target >= 0.8 per BASELINE.json north_rule).
+State/shuffle partitions pinned to {stream['stream_partitions']} at BOTH levels (a real
+cluster resize keeps the checkpoint's state layout; only executor count
+changes).
+
+Same-run hardware-ceiling control ({hw['procs_lo']} -> {hw['procs_hi']} perfectly-parallel
+single-threaded numpy processes, no Spark): {hw['units_per_sec_lo']} -> {hw['units_per_sec_hi']}
+units/s = control efficiency **{hw['hw_scaling_efficiency']}** — the MOST this virtualized
+host delivers for code with zero serial fraction at this width. Engine
+efficiency normalized by that ceiling:
+**{stream['scaling_efficiency']} / {hw['hw_scaling_efficiency']} = {norm}**.
+
+### Timed trials (pair {idx + 1})
+
+| round | config | busy (s) | clips/s |
+|---|---|---|---|
+{trial_rows}
+"""
+
+    sections = "\n".join(pair_section(i, s) for i, s in enumerate(pairs))
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — measured north-rule numbers
 
@@ -315,33 +369,12 @@ on the synthesized audio+transcript stream. The two-cluster-size
 criterion is evidenced in-sandbox (driver instruction: "running the
 same job at two parallelism levels (e.g. local[8] and local[32], or N
 and 4N cores)") by the same job / same input / same checkpoint + state
-partition layout at local[{rl['cores']}] (N) vs local[{rh['cores']}] (4N).
+partition layout at TWO N-vs-4N pairs, each with a same-run
+hardware-ceiling control: the 2->8 pair (primary gate — the control
+shows ~0.97 ceiling there) and the 4->16 pair (wider-width evidence;
+ceiling ~0.82-0.91 on this virtualized host).
 
-| config | clips in | rows out | wall (s) | busy (s) | sustained clips/sec | incl. startup |
-|---|---|---|---|---|---|---|
-| local[{rl['cores']}]  (N)  | {rl['clips_in']} | {rl['rows_out']} | {rl['wall_s']} | {rl['busy_s']} | {rl['clips_per_sec']} | {rl['clips_per_sec_incl_startup']} |
-| local[{rh['cores']}] (4N) | {rh['clips_in']} | {rh['rows_out']} | {rh['wall_s']} | {rh['busy_s']} | {rh['clips_per_sec']} | {rh['clips_per_sec_incl_startup']} |
-
-**Scaling efficiency (thr_4N / thr_N) / 4 = {stream['scaling_efficiency']}**
-(target >= 0.8 per BASELINE.json north_rule).
-
-## Hardware ceiling control (why N={rl['cores']})
-
-Perfectly-parallel control workload (single-threaded numpy ops in K
-independent processes, no Spark, same box, re-measured this run):
-
-| procs | work units/s |
-|---|---|
-| {hw['procs_lo']} | {hw['units_per_sec_lo']} |
-| {hw['procs_hi']} | {hw['units_per_sec_hi']} |
-
-Control scaling efficiency = {hw['hw_scaling_efficiency']} — the MOST this
-virtualized host can deliver for code with zero serial fraction. The
-same control measures ~0.85-0.91 at 4 -> 16 procs and ~0.71 at 8 -> 32:
-the larger literal pairs cannot evidence >= 0.8 for any engine on this
-box; the {hw['procs_lo']} -> {hw['procs_hi']} pair can. Engine efficiency normalized by the
-hardware ceiling: **{stream['scaling_efficiency']} / {hw['hw_scaling_efficiency']} = {norm}**.
-
+{sections}
 ## Measurement protocol
 
 One worker process per parallelism level, both long-lived: Python
@@ -351,17 +384,12 @@ storage, which scales with executors); one full UNTIMED pipeline pass
 per level (cold-start: JIT, codegen, state-store + allocator growth);
 then timed passes INTERLEAVED lo/hi/lo/hi (host contention bursts last
 seconds-to-minutes and move identical runs ±50% — interleaving
-decorrelates the two levels from the bursts), strictly sequential,
-fresh checkpoint each pass. Best-of-{ROUNDS} busy time per level is the
-reported sustained number (contention only ever slows a run down).
-Shuffle/state partitions = {STREAM_PARTITIONS} at both levels: on a real cluster the
-checkpoint pins the state layout, a resize changes executor count only.
-
-### All timed trials this run
-
-| round | config | busy (s) | clips/s |
-|---|---|---|---|
-{trial_rows}
+decorrelates the two levels of a pair from the bursts), strictly
+sequential, fresh checkpoint each pass. Best-of-{ROUNDS} busy time per
+level is the reported sustained number (contention only ever slows a
+run down). Pairs run sequentially and never share a host window, so
+cross-pair comparisons carry window noise — each pair's RATIO is the
+meaningful number, which is exactly what interleaving protects.
 
 ## Pipeline under test
 
@@ -395,19 +423,32 @@ def main() -> None:
     }
 
     if RUN_SCALING:
-        stream = run_scaling(BENCH_N)
-        write_bench_md(stream)
+        pairs = run_scaling(BENCH_N)
+        write_bench_md(pairs)
+        primary = pairs[0]
         result["streaming"] = {
             "metric": "sustained clips/sec end-to-end (decode+window+join+sink)",
             "clips_n": BENCH_N,
-            "cores_n": stream["local_n"]["cores"],
-            "cores_4n": stream["local_4n"]["cores"],
-            "clips_per_sec_n": stream["local_n"]["clips_per_sec"],
-            "clips_per_sec_4n": stream["local_4n"]["clips_per_sec"],
-            "scaling_efficiency": stream["scaling_efficiency"],
-            "hw_ceiling_efficiency": stream["cpu_control"]["hw_scaling_efficiency"],
+            "cores_n": primary["local_n"]["cores"],
+            "cores_4n": primary["local_4n"]["cores"],
+            "clips_per_sec_n": primary["local_n"]["clips_per_sec"],
+            "clips_per_sec_4n": primary["local_4n"]["clips_per_sec"],
+            "scaling_efficiency": primary["scaling_efficiency"],
+            "hw_ceiling_efficiency": primary["cpu_control"]["hw_scaling_efficiency"],
             "rounds_per_level": ROUNDS,
-            "protocol": "interleaved best-of-k busy-time per level",
+            "protocol": "interleaved best-of-k busy-time per level; pairs sequential",
+            "pairs": [
+                {
+                    "cores_n": p["local_n"]["cores"],
+                    "cores_4n": p["local_4n"]["cores"],
+                    "stream_partitions": p["stream_partitions"],
+                    "clips_per_sec_n": p["local_n"]["clips_per_sec"],
+                    "clips_per_sec_4n": p["local_4n"]["clips_per_sec"],
+                    "scaling_efficiency": p["scaling_efficiency"],
+                    "hw_ceiling_efficiency": p["cpu_control"]["hw_scaling_efficiency"],
+                }
+                for p in pairs
+            ],
         }
 
     result["bench_wall_s"] = round(time.time() - t_all, 1)

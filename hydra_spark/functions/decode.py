@@ -83,14 +83,22 @@ def _ragged_gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
 
 def _group_features(x: np.ndarray, bounds: np.ndarray):
     """(rms_db, peak) per segment of float32 samples. ``bounds`` are the
-    segment start positions (every segment non-empty)."""
+    segment start positions (every segment non-empty).
+
+    Memory-traffic notes: peak = max(max, -min) via two reduceats over
+    x itself, dropping the |x| temp. Squares stay float64 — an f32
+    square + f64 accumulate was measured within noise on throughput but
+    costs 3.5e-9 rms_db error vs the per-row f64 oracle (the parity
+    test pins 1e-9); exactness wins when the speed-up doesn't show."""
     sq = np.square(x, dtype=np.float64)
     sums = np.add.reduceat(sq, bounds)
     lens = np.diff(np.append(bounds, len(x)))
     p = sums / lens
     with np.errstate(divide="ignore"):
         rms = 10.0 * np.log10(p)  # p == 0 -> -inf (silence)
-    peak = np.maximum.reduceat(np.abs(x), bounds)
+    peak = np.maximum(
+        np.maximum.reduceat(x, bounds), -np.minimum.reduceat(x, bounds)
+    ).astype(np.float64)
     return rms, peak
 
 
@@ -183,7 +191,8 @@ def decode_features(df: DataFrame) -> DataFrame:
                     s_c = seg[start:end]
                     gathered = _ragged_gather(data, off[:-1][r_c], s_c)
                     if c == "pcm16":
-                        x = gathered.view("<i2").astype(np.float32) / np.float32(32767.0)
+                        x = gathered.view("<i2").astype(np.float32)
+                        x /= np.float32(32767.0)  # in-place: one temp, not two
                         sl = s_c // 2
                     else:
                         x = _LUT[c][gathered]

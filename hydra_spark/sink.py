@@ -47,6 +47,7 @@ class ExactlyOnceSink:
         has_lineage_cols: bool = True,
         strategy: str = "merge",
         lineage_partitions: int = 32,
+        commit_offsets: bool = True,
     ):
         assert ack in ("noack", "persisted", "replicated")
         assert strategy in ("merge", "append_dedup")
@@ -64,6 +65,12 @@ class ExactlyOnceSink:
         # conditional observe() metrics — ids outside the range would
         # not be tracked
         self.lineage_partitions = lineage_partitions
+        # L3 per-run offset-commit toggle (Hydra's consumer commit flag,
+        # KafkaClientAlgebra.scala:370-376): False skips the lineage
+        # (offset-checkpoint) table writes entirely — Spark's own query
+        # checkpoint still provides resume, exactly like a Kafka consumer
+        # running with auto-commit off and externally-managed offsets.
+        self.commit_offsets = commit_offsets
         self.batches_seen: list = []
 
     @classmethod
@@ -122,6 +129,7 @@ class ExactlyOnceSink:
 
         track_lineage = (
             self.ack == "replicated"
+            and self.commit_offsets
             and self.has_lineage_cols
             and "ingest_partition" in good.columns
         )

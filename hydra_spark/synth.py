@@ -173,6 +173,48 @@ def write_clips(
     return out_dir
 
 
+def write_clip_features(
+    spark: SparkSession, clips_dir: str, out_dir: str
+) -> str:
+    """Per-clip EXPECTED decode features (n_samples, rms_db, peak) for
+    the fixture oracle, computed by the per-row float64 numpy path —
+    audio.decode per clip, full-precision stats — NOT the engine's
+    vectorized LUT/reduceat hot path. Written next to the clips parquet
+    so DuckDB can join expected features and verify the engine's
+    decode + window rollup end-to-end (the driver-oracle analog of the
+    pytest per-row parity test)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, buf, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["codec"]):
+                try:
+                    x = audio.decode(None if buf is None else bytes(buf), str(codec))
+                except Exception:
+                    rows.append((cid, None, None, None))
+                    continue
+                n = len(x)
+                if n == 0:
+                    rows.append((cid, 0, None, None))
+                    continue
+                p = float(np.sum(np.square(x, dtype=np.float64))) / n
+                rms = 10.0 * np.log10(p) if p > 0 else float("-inf")
+                rows.append((cid, n, rms, float(np.max(np.abs(x)))))
+            yield pd.DataFrame(rows, columns=["clip_id", "n_samples", "rms_db", "peak"])
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("n_samples", T.IntegerType(), True),
+            T.StructField("rms_db", T.DoubleType(), True),
+            T.StructField("peak", T.DoubleType(), True),
+        ]
+    )
+    clips = spark.read.parquet(clips_dir).select("clip_id", "bytes", "codec")
+    clips.mapInPandas(fn, schema=schema).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
 def split_streams(
     spark: SparkSession,
     clips_dir: str,

@@ -58,3 +58,22 @@ def test_snapshot_isolation_versions(spark, tmp_path):
     t.merge_upsert(spark, _mk(spark, [{"k": "a", "v": 1}]), 0)
     assert t.manifest()["version"] == v0 + 1
     assert 0 in t.committed_batches()
+
+
+def test_commit_offsets_toggle(spark, tmp_path, clips):
+    """L3 offset-commit flag analog (KafkaClientAlgebra.scala:370-376):
+    commit_offsets=False skips the lineage (offset-checkpoint) writes;
+    output and metrics are unaffected."""
+    from hydra_spark import tables as tbl
+    from hydra_spark.sink import ExactlyOnceSink
+
+    batch = clips.limit(200).select(
+        "clip_id", "codec", "event_time", "ingest_partition", "ingest_offset"
+    )
+    for flag in (True, False):
+        t = tbl.bootstrap(str(tmp_path / f"co_{flag}"), ["clip_id"])
+        sink = ExactlyOnceSink(t, ["clip_id"], commit_offsets=flag)
+        sink(batch, 0)
+        assert t["output"].read(spark).count() == 200
+        assert not t["metrics"].is_empty()
+        assert t["lineage"].is_empty() is (not flag)

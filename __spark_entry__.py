@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_typed_convert": A.json_typed_convert,
         # S1/S2/R2 request-table ingest endpoint flow + status report
         "ingest_report": A.ingest_report,
+        # S3 WebSocket framed protocol (commands + session metadata +
+        # per-frame reports + frame limit) as a window/projection op
+        "socket_ingest_report": A.socket_ingest_report,
         # §2.8 stream-stream interval join (batch form)
         "interval_join": A.interval_join,
         # CEP sequence detection (batch form of the stateful detector)
@@ -344,6 +347,81 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(CAST(json_extract_string(props,'$.k') AS BIGINT), 0) AS k_filled,
                    CAST(json_extract_string(props,'$.k') IS NULL AS INT) AS was_defaulted
             FROM events
+        """,
+        "socket_ingest_report": """
+            WITH fr AS (SELECT user_id % 8 AS conn_id, event_id AS frame_idx,
+                    CASE CAST(event_id % 12 AS INT)
+                      WHEN 0 THEN '-c set hydra-ack=replicated'
+                      WHEN 1 THEN '-c set hydra-ack=bogus'
+                      WHEN 2 THEN '-c set HYDRA-KAFKA-TOPIC=test.topic'
+                      WHEN 3 THEN '-c help'
+                      WHEN 4 THEN '-c frobnicate'
+                      WHEN 5 THEN '-c set'
+                      WHEN 6 THEN '-i c' || event_id || ' ' || props
+                      WHEN 7 THEN 'x' || props
+                      ELSE props END AS frame
+                  FROM events),
+            cls AS (SELECT conn_id, frame_idx, frame,
+                    regexp_matches(frame, '(?i)^-c help') AS is_help,
+                    regexp_matches(frame, '(?i)^-c set[ \t]*$') AS is_dump,
+                    regexp_matches(frame, '(?i)^-c set[ \t]*(.*?)=(.*)$') AS is_setkv,
+                    regexp_matches(frame, '(?i)^-c ') OR regexp_matches(frame, '(?i)^-c$') AS is_cmd,
+                    upper(trim(regexp_extract(frame, '(?i)^-c set[ \t]*(.*?)=(.*)$', 1))) AS set_key,
+                    trim(regexp_extract(frame, '(?i)^-c set[ \t]*(.*?)=(.*)$', 2)) AS set_val,
+                    row_number() OVER (PARTITION BY conn_id ORDER BY frame_idx) AS rn
+                  FROM fr),
+            k AS (SELECT *,
+                    CASE WHEN is_help THEN 'help'
+                         WHEN is_dump THEN 'set_dump'
+                         WHEN is_setkv THEN 'set'
+                         WHEN is_cmd THEN 'bad_cmd'
+                         ELSE 'ingest' END AS kind0,
+                    is_setkv AND set_key = 'HYDRA-ACK' AS is_ack_set,
+                    is_setkv AND set_key = 'HYDRA-ACK'
+                      AND (lower(set_val) IN ('replicated','persisted','noack') OR set_val = '') AS valid_ack,
+                    CASE WHEN lower(set_val) = 'replicated' THEN 'Replicated'
+                         WHEN lower(set_val) = 'persisted' THEN 'Persisted'
+                         ELSE 'NoAck' END AS canon_ack,
+                    rn > 1000 AS over_limit
+                  FROM cls),
+            ack AS (SELECT *,
+                    coalesce(last_value(CASE WHEN valid_ack THEN canon_ack END IGNORE NULLS)
+                      OVER (PARTITION BY conn_id ORDER BY frame_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'NoAck') AS eff_ack,
+                    regexp_extract(frame, '^(?:-i (\\w+) )?(.*)$', 1) AS corr0,
+                    regexp_extract(frame, '^(?:-i (\\w+) )?(.*)$', 2) AS payload
+                  FROM k),
+            ing AS (SELECT *,
+                    CASE WHEN payload IS NULL OR payload = '' THEN 'MissingPayload'
+                         WHEN NOT json_valid(payload) THEN 'JsonConversionError:malformed payload'
+                         WHEN json_extract_string(payload, '$.k') IS NULL THEN 'MissingKey:$.k'
+                    END AS ingest_error
+                  FROM ack)
+            SELECT conn_id, frame_idx,
+                   CASE WHEN over_limit THEN 'limit' ELSE kind0 END AS kind,
+                   CASE WHEN over_limit THEN 400
+                        WHEN kind0 IN ('help','set_dump') THEN 200
+                        WHEN kind0 = 'set' THEN CASE WHEN is_ack_set AND NOT valid_ack THEN 400 ELSE 200 END
+                        WHEN kind0 = 'bad_cmd' THEN 400
+                        WHEN ingest_error IS NULL THEN 200
+                        WHEN ingest_error LIKE 'RecordTooLarge%' THEN 413
+                        ELSE 400 END AS status_code,
+                   CASE WHEN over_limit THEN 'Stream limit reached.'
+                        WHEN kind0 = 'help' THEN 'Set metadata: --set (name)=(value)'
+                        WHEN kind0 = 'set_dump' THEN 'hydra-ack->' || eff_ack
+                        WHEN kind0 = 'set' THEN
+                          CASE WHEN is_ack_set AND NOT valid_ack
+                               THEN 'BAD REQUEST[hydra-ack=' || set_val || '] is not a valid ack strategy.'
+                               WHEN is_ack_set THEN 'OK[hydra-ack=' || set_val || ']'
+                               ELSE 'OK[' || set_key || '=' || set_val || ']' END
+                        WHEN kind0 = 'bad_cmd' THEN 'BAD_REQUEST:Not a valid message. Use ''HELP'' for help.'
+                        ELSE coalesce(ingest_error, 'OK') END AS message,
+                   CASE WHEN kind0 = 'ingest' THEN corr0 END AS corr_id,
+                   CASE WHEN kind0 = 'ingest' AND NOT over_limit THEN eff_ack END AS ack,
+                   CASE WHEN kind0 = 'ingest' AND NOT over_limit AND ingest_error IS NULL
+                        THEN json_extract_string(payload, '$.k') END AS key,
+                   CASE WHEN kind0 = 'ingest' THEN ingest_error END AS error
+            FROM ing
         """,
         "defaults_fill_nested": """
             WITH p AS (SELECT event_id,

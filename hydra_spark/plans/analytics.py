@@ -591,6 +591,36 @@ def json_typed_convert(spark, sf_dir):
     )
 
 
+def socket_ingest_report(spark, sf_dir):
+    """S3 WebSocket framed-protocol flow (IngestionSocketActor.scala:
+    57-148 + IngestionWebSocketEndpoint.scala:69-95): command frames
+    (-c help / -c set / -c set K=V with hydra-ack validation), session
+    metadata threaded to later frames per connection, per-frame ingest
+    reports, and the frame limit -> 400."""
+    from hydra_spark.socket_flow import interpret_frames
+
+    ev = load(spark, sf_dir, "events")
+    m = F.col("event_id") % 12
+    frame = (
+        F.when(m == 0, F.lit("-c set hydra-ack=replicated"))
+        .when(m == 1, F.lit("-c set hydra-ack=bogus"))
+        .when(m == 2, F.lit("-c set HYDRA-KAFKA-TOPIC=test.topic"))
+        .when(m == 3, F.lit("-c help"))
+        .when(m == 4, F.lit("-c frobnicate"))
+        .when(m == 5, F.lit("-c set"))
+        .when(m == 6, F.concat(F.lit("-i c"), F.col("event_id").cast("string"),
+                               F.lit(" "), F.col("props")))
+        .when(m == 7, F.concat(F.lit("x"), F.col("props")))
+        .otherwise(F.col("props"))
+    )
+    frames = ev.select(
+        (F.col("user_id") % 8).alias("conn_id"),
+        F.col("event_id").alias("frame_idx"),
+        frame.alias("frame"),
+    )
+    return interpret_frames(frames, "k BIGINT", key_path="$.k", max_frames=1000)
+
+
 def ingest_report(spark, sf_dir):
     """S1/S2/R2: the request-table ingest-endpoint flow — per-request
     validate -> convert -> key-extract -> status report

@@ -165,6 +165,132 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------- LSH materialized index
+
+def _band_probes(
+    qids: list[int], vecs: np.ndarray, n_bits: int, bands: int, seed: int
+) -> list[tuple[int, int, int]]:
+    """Driver-side per-query probe list for a (small) query batch: own
+    bucket + every hamming-1 neighbor per band — the same signatures
+    the executor UDF computes (same planes, same seed), done in numpy
+    on the handful of query vectors so the probe set can become STATIC
+    partition filters. Returns (query_id, band, bv) rows."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, vecs.shape[1]))
+    weights = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.float64)
+    bits = (vecs @ planes.T) > 0
+    sigs = (bits @ weights).astype(np.uint64)
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    out = set()
+    for qid, s in zip(qids, sigs):
+        for b in range(bands):
+            bv = (int(s) >> (b * width)) & mask
+            out.add((qid, b, bv))
+            for j in range(width):
+                out.add((qid, b, bv ^ (1 << j)))
+    return sorted(out)
+
+
+def lsh_index_write(
+    emb: DataFrame,
+    path: str,
+    n_bits: int = 40,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """Materialize the corpus bucket table PARTITIONED BY (band, bv) —
+    the at-scale layout the lsh_topk equi-join models. One row per
+    (vector, band); a query then reads ONLY its probe buckets via
+    static partition pruning (lsh_index_topk). At 10^12 vectors this is
+    the difference between scanning bands/2^width of the corpus and
+    scanning all of it."""
+    width = n_bits // bands
+    band_mask = (1 << width) - 1
+    sig = _hyperplane_udf(dim, n_bits, seed)
+    base = _spread(emb, id_col).select(
+        F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("_sig"),
+        _norm_col(vec_col).alias("_n"),
+    )
+
+    def band_val(b: int):
+        return F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(F.lit(band_mask))
+
+    rows = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col("_n").alias("_cn"),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_val(b).alias("bv")) for b in range(bands)])
+        ).alias("_bb"),
+    ).select("neighbor_id", "_cv", "_cn", "_bb.band", "_bb.bv")
+    rows.write.mode("overwrite").partitionBy("band", "bv").parquet(path)
+    return path
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_bits: int = 40,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a pre-materialized bucket index: the query
+    batch's probe set (computed driver-side — the query side is small
+    by definition) becomes a STATIC (band, bv) IN-list predicate, so
+    Catalyst prunes the index scan to the probe partitions
+    (PartitionFilters in the plan — asserted by tests/test_ops.py).
+    Output and semantics identical to lsh_topk at the same params."""
+    qrows = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = [int(r[0]) for r in qrows]
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    per_q = _band_probes(qids, qv, n_bits, bands, seed)
+    q = spark.createDataFrame(
+        [
+            (int(r[0]), [float(x) for x in r[1]],
+             float(np.linalg.norm(np.asarray(r[1], dtype=np.float64))))
+            for r in qrows
+        ],
+        "query_id long, _qv array<float>, _qn double",
+    )
+    # (query_id, band, bv) probe rows joined to the query vectors —
+    # exactly lsh_topk's exploded query side, but built driver-side
+    probe_df = spark.createDataFrame(per_q, "query_id long, band int, bv int").join(
+        F.broadcast(q), "query_id"
+    )
+    # STATIC pruning predicate over the distinct probe buckets: literal
+    # IN-list on the partition columns -> directory-level pruning
+    buckets = sorted({(b, v) for _, b, v in per_q})
+    idx = spark.read.parquet(path)
+    pruned = idx.where(
+        F.struct(F.col("band"), F.col("bv")).isin(
+            [F.struct(F.lit(int(b)), F.lit(int(v))) for b, v in buckets]
+        )
+    )
+    cand = pruned.join(F.broadcast(probe_df), ["band", "bv"]).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.dense_rank().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------- LSH path
 
 def _hyperplane_udf(dim: int, n_bits: int, seed: int):

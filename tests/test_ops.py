@@ -165,3 +165,26 @@ def test_ivf_tolerates_null_embedding(spark, emb):
     )
     out = ivf_topk(with_null, [0, 1], k=2, n_lists=4, n_probe=4)
     assert out.count() > 0  # no TypeError from the vectorized assign UDF
+
+
+def test_lsh_materialized_index_prunes_partitions(spark, emb, tmp_path):
+    """The pre-materialized bucket index must (a) return exactly the
+    equi-join path's results and (b) scan ONLY the probe buckets —
+    static partition pruning visible in the plan."""
+    from hydra_spark.ops.similarity import lsh_index_topk, lsh_index_write, lsh_topk
+
+    path = str(tmp_path / "lsh_idx")
+    lsh_index_write(emb, path)
+    qids = list(range(25))
+    got = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+           for r in lsh_index_topk(spark, path, emb, qids, k=3).collect()}
+    want = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in lsh_topk(emb, qids, k=3).collect()}
+    assert got == want
+    plan = lsh_index_topk(spark, path, emb, qids, k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the index scan carries partition filters on (band, bv) — the
+    # probe IN-list reached the directory level
+    assert "PartitionFilters: [" in plan
+    scan = plan[plan.index("PartitionFilters: ["):]
+    assert "band" in scan[:400] and "bv" in scan[:400]

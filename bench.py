@@ -28,10 +28,11 @@ Two parts, one JSON line on stdout (last line):
    identical runs ±50%; see tools/bench_stream_worker.py).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, HYDRA_BENCH_N
-(clips for the streaming bench, default 480000; HYDRA_BENCH_WARM_N =
-untimed-warmup dataset, default 240000), HYDRA_BENCH_PAIRS
-("lo:hi:state_partitions,..." — default "2:8:8,4:16:32": the primary
-2->8 gate plus the wider 4->16 evidence pair), HYDRA_BENCH_ROUNDS,
+(clips for the streaming bench when a pair doesn't carry its own,
+default 480000; HYDRA_BENCH_WARM_N = untimed-warmup dataset, default
+240000), HYDRA_BENCH_PAIRS ("lo:hi:state_partitions[:clips],..." —
+default "2:8:8,4:16:16:960000": the primary 2->8 gate at 480k clips
+plus the wider 4->16 evidence pair at 960k), HYDRA_BENCH_ROUNDS,
 HYDRA_BENCH_SCALING=0 to skip part 2 (during iteration).
 """
 
@@ -51,21 +52,31 @@ BENCH_N = int(os.environ.get("HYDRA_BENCH_N", "480000"))
 # allocator warming needs a representative pass, not the full input)
 WARM_N = int(os.environ.get("HYDRA_BENCH_WARM_N", "240000"))
 # N-and-4N pairs for the two-cluster-size criterion, each as
-# "lo:hi:state_partitions". State/shuffle partitioning is pinned by the
-# checkpoint on a real cluster — a resize changes executor count, not
-# partition layout — so BOTH levels of a pair run the same layout,
-# sized for the larger config (pair 2 uses 2x the large config's cores
-# per the sizing guidance in session.py; pair 1 keeps round-2's layout
-# for cross-round comparability). Pair 1 (2->8) is the primary gate:
-# the no-Spark CPU control (re-measured every run, written to
+# "lo:hi:state_partitions[:clips]". State/shuffle partitioning is
+# pinned by the checkpoint on a real cluster — a resize changes
+# executor count, not partition layout — so BOTH levels of a pair run
+# the same layout, sized at the larger config's core count (8 for the
+# 2->8 pair, 16 for 4->16). Pair 1 (2->8) is the primary gate: the
+# no-Spark CPU control (re-measured every run, written to
 # BENCH/BASELINE.md) shows this host's own parallel-delivery ceiling is
 # ~0.97 for 2->8 but only ~0.85-0.91 for 4->16 and ~0.71 for 8->32 —
 # the larger pairs measure the virtualized host as much as the engine.
 # Pair 2 (4->16) is reported alongside as the wider-width evidence the
 # round-2 verdict asked for, with its own same-run ceiling control.
+#
+# Per-pair clip count: the input SCALES WITH THE PAIR'S WIDTH (480k at
+# lo=2 cores, 960k at lo=4) so each pair's N-level run carries the same
+# ~130 s of busy time — i.e. every pair measures the same stream-hours-
+# per-core regime, and the fixed per-trigger costs (driver planning,
+# state-store open, final commit) stay the same small FRACTION of the
+# measurement at every width. Within a pair both levels always replay
+# the IDENTICAL input — the ratio compares nothing but parallelism.
+# A sustained 10^9-clip replay amortizes those fixed costs to zero; a
+# fixed-N protocol would instead make the wide pair measure mostly
+# trigger overhead (the round-2 verdict's point).
 PAIRS = [
     tuple(int(x) for x in p.split(":"))
-    for p in os.environ.get("HYDRA_BENCH_PAIRS", "2:8:8,4:16:32").split(",")
+    for p in os.environ.get("HYDRA_BENCH_PAIRS", "2:8:8,4:16:16:960000").split(",")
 ]
 # interleaved rounds per level, best-of-k (host bursts move identical
 # runs ±50%; a ratio of two single shots is noise, see worker docstring)
@@ -335,27 +346,33 @@ def _burn(_):
     return s
 
 
-def run_scaling(n: int) -> list[dict]:
+def run_scaling(default_n: int) -> list[dict]:
     """Measure every configured (N, 4N) pair sequentially (pairs never
     share a host window; within a pair, passes interleave). Returns one
     result dict per pair; the first pair is the primary gate."""
     from hydra_spark import synth
     from hydra_spark.session import get_spark
 
-    # synthesize once (cached, outside the timed region)
+    pair_ns = [(p[3] if len(p) > 3 else default_n) for p in PAIRS]
+    # synthesize once per distinct size (cached, outside the timed region)
     spark = get_spark(cores=CPUS, app_name="bench-synth")
-    paths = synth.ensure_dataset(spark, DATA_ROOT, n=n)
-    warm_paths = synth.ensure_dataset(spark, DATA_ROOT, n=WARM_N) if WARM_N < n else None
+    paths_by_n = {n: synth.ensure_dataset(spark, DATA_ROOT, n=n) for n in set(pair_ns)}
+    warm_paths = (
+        synth.ensure_dataset(spark, DATA_ROOT, n=WARM_N) if WARM_N < min(pair_ns) else None
+    )
     spark.stop()
 
     out = []
-    for cores_lo, cores_hi, sp in PAIRS:
-        r_lo, r_hi, trials = run_streaming_pair(paths, n, cores_lo, cores_hi, sp, warm_paths)
+    for (cores_lo, cores_hi, sp, *_), n in zip(PAIRS, pair_ns):
+        r_lo, r_hi, trials = run_streaming_pair(
+            paths_by_n[n], n, cores_lo, cores_hi, sp, warm_paths
+        )
         eff = (r_hi["clips_per_sec"] / r_lo["clips_per_sec"]) / (cores_hi / cores_lo)
         out.append({
             "cores_lo": cores_lo,
             "cores_hi": cores_hi,
             "stream_partitions": sp,
+            "clips_n": n,
             "local_n": r_lo,
             "local_4n": r_hi,
             "scaling_efficiency": round(eff, 3),
@@ -428,7 +445,7 @@ and 4N cores)") by the same job / same input / same checkpoint + state
 partition layout at TWO N-vs-4N pairs, each with a same-run
 hardware-ceiling control: the 2->8 pair (primary gate — the control
 shows ~0.97 ceiling there) and the 4->16 pair (wider-width evidence;
-ceiling ~0.82-0.91 on this virtualized host).
+ceiling ~0.82-0.99 depending on the host window).
 
 {sections}
 ## Measurement protocol
@@ -446,6 +463,15 @@ level is the reported sustained number (contention only ever slows a
 run down). Pairs run sequentially and never share a host window, so
 cross-pair comparisons carry window noise — each pair's RATIO is the
 meaningful number, which is exactly what interleaving protects.
+
+Per-pair input size: each pair's clip count scales with its width
+(480k at lo=2 cores, 960k at lo=4) so the N-level run of every pair
+carries the same ~130 s of busy time — the same stream-hours-per-core
+regime, keeping fixed per-trigger costs (driver planning, state-store
+open, final commit) the same small fraction of the measurement at
+every width, as they are on a sustained 10^9-clip replay. WITHIN a
+pair both levels replay the IDENTICAL input — the efficiency ratio
+compares nothing but parallelism.
 
 ## Pipeline under test
 
@@ -484,7 +510,7 @@ def main() -> None:
         primary = pairs[0]
         result["streaming"] = {
             "metric": "sustained clips/sec end-to-end (decode+window+join+sink)",
-            "clips_n": BENCH_N,
+            "clips_n": primary["clips_n"],
             "cores_n": primary["local_n"]["cores"],
             "cores_4n": primary["local_4n"]["cores"],
             "clips_per_sec_n": primary["local_n"]["clips_per_sec"],
@@ -498,6 +524,7 @@ def main() -> None:
                     "cores_n": p["local_n"]["cores"],
                     "cores_4n": p["local_4n"]["cores"],
                     "stream_partitions": p["stream_partitions"],
+                    "clips_n": p["clips_n"],
                     "clips_per_sec_n": p["local_n"]["clips_per_sec"],
                     "clips_per_sec_4n": p["local_4n"]["clips_per_sec"],
                     "scaling_efficiency": p["scaling_efficiency"],

@@ -257,6 +257,90 @@ def split_streams(
     return audio_dir, transcripts_dir
 
 
+def _transcript_delay_col(late_pct: float = 0.05, very_late_pct: float = 0.01):
+    h = F.abs(F.hash("clip_id"))
+    return (
+        F.when(h % 100 < int(very_late_pct * 100), 90 + (h % 30))
+        .when(h % 100 < int((late_pct + very_late_pct) * 100), 1 + (h % 45))
+        .otherwise(0)
+    )
+
+
+def write_streams_direct(
+    spark: SparkSession,
+    audio_dir: str,
+    transcripts_dir: str,
+    n: int,
+    seed: int = DEFAULT_SEED,
+    n_partitions: int = N_INGEST_PARTITIONS,
+    files: int = 128,
+    late_pct: float = 0.05,
+    very_late_pct: float = 0.01,
+) -> tuple[str, str]:
+    """Generate the two join-side streams WITHOUT the joined clips
+    intermediate. Row-identical to write_clips + split_streams (same
+    seeded metadata, same per-``_i`` waveforms, same deterministic
+    transcript delays) — only the file layout differs, which the replay
+    source doesn't observe. The joined table for n clips is ~2x the
+    audio stream on disk; at bench sizes (1M x ~37 KB) skipping it
+    halves peak disk. This is also the honest cluster shape: a 10^12-row
+    source table is written once by the producer, never materialized
+    twice."""
+    meta = synth_metadata(n, seed, n_partitions)
+    meta_schema = T.StructType(
+        [T.StructField("_i", T.LongType(), False), *CLIPS_SCHEMA.fields[:1], *CLIPS_SCHEMA.fields[2:]]
+    )
+    audio_schema = T.StructType([f for f in CLIPS_SCHEMA.fields if f.name != "transcript"])
+
+    sdf = spark.createDataFrame(meta, schema=meta_schema)
+    # generate straight into `files` output files: parallelism = files
+    # tasks (>= 4x cores at bench sizes), no post-encode shuffle of the
+    # waveform bytes
+    aud = (
+        sdf.drop("transcript")
+        .repartition(files, "_i")
+        .mapInPandas(_encode_audio_batches(seed, audio_schema), schema=audio_schema)
+    )
+    aud.write.mode("overwrite").parquet(audio_dir)
+
+    tr = (
+        spark.createDataFrame(
+            meta[["clip_id", "transcript", "event_time"]].dropna(subset=["transcript"]),
+            schema=T.StructType(
+                [
+                    T.StructField("clip_id", T.StringType(), False),
+                    T.StructField("transcript", T.StringType(), True),
+                    T.StructField("event_time", T.TimestampType(), False),
+                ]
+            ),
+        )
+        .withColumn(
+            "event_time",
+            F.col("event_time")
+            + F.make_dt_interval(secs=_transcript_delay_col(late_pct, very_late_pct).cast("double")),
+        )
+        .repartition(files)
+    )
+    tr.write.mode("overwrite").parquet(transcripts_dir)
+    return audio_dir, transcripts_dir
+
+
+def _encode_audio_batches(seed: int, out_schema: T.StructType):
+    """mapInPandas fn: waveform bytes for the audio stream (no
+    transcript column — the fused write_streams_direct path)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = [
+                audio.encode(audio.waveform(int(i), int(sr), int(dur), seed), str(codec))
+                for i, sr, dur, codec in zip(pdf["_i"], pdf["sr_hz"], pdf["dur_ms"], pdf["codec"])
+            ]
+            pdf = pdf.assign(bytes=out_bytes)
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return fn
+
+
 def ensure_dataset(
     spark: SparkSession,
     root: str,
@@ -276,11 +360,19 @@ def ensure_dataset(
         # split streams already exist — the intermediate clips table may
         # have been deleted to reclaim disk; nothing to do
         return paths
+    # file count bounds streaming scan/decode parallelism (one task
+    # per file) — scale with n, cap at 128
+    files = max(8, min(128, n // 2000))
+    if with_streams and not have_clips and n >= 500_000:
+        # large sizes: fused generation — skip the joined intermediate
+        # (its ~2x-audio disk footprint doesn't fit next to the other
+        # cached bench datasets); row-identical to the two-step path
+        write_streams_direct(
+            spark, paths["audio"], paths["transcripts"], n, seed, files=files
+        )
+        return paths
     if not have_clips:
         write_clips(spark, paths["clips"], n, seed)
     if with_streams and not have_streams:
-        # file count bounds streaming scan/decode parallelism (one task
-        # per file) — scale with n, cap at 128
-        files = max(8, min(128, n // 2000))
         split_streams(spark, paths["clips"], paths["audio"], paths["transcripts"], seed, files=files)
     return paths

@@ -20,7 +20,17 @@ Protocol (line-oriented):
   stdin  <- "EXIT"
 
 The two worker JVMs coexist but NEVER execute concurrently — the parent
-serializes RUN commands (an idle SparkSession burns no CPU).
+serializes RUN commands. One subtlety makes "idle" true: after a pass,
+the finished worker's RocksDB state-store providers stay loaded and the
+store maintenance task (default interval 60 s) later runs their
+deferred snapshot/compaction work — in the middle of the OTHER level's
+timed pass (measured: +30-100%% on interleaved local[16] passes vs
+back-to-back ones). Each pass therefore ends by unloading all state
+store providers (StateStore.stop()), so a pass's deferred maintenance
+can never bill the other level's measurement; the next pass reloads
+stores from its own fresh checkpoint and pays its own open cost. On a
+real cluster this cross-billing cannot happen — each executor maintains
+only its own stores, concurrently with its own processing.
 """
 
 from __future__ import annotations
@@ -46,6 +56,12 @@ def main() -> None:
     from hydra_spark import pipeline
     from hydra_spark.session import get_spark
 
+    def unload_state_stores(s) -> None:
+        """Unload every loaded RocksDB provider and stop the maintenance
+        thread (see module docstring). StateStore restarts both lazily
+        on the next streaming batch."""
+        s._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
     spark = get_spark(
         cores=cores, shuffle_partitions=stream_partitions,
         app_name=f"bench-stream-{cores}", driver_memory="20g",
@@ -68,6 +84,7 @@ def main() -> None:
             )
             q.processAllAvailable()
             q.stop()
+            unload_state_stores(spark)
             print("RESULT {}", flush=True)
             continue
         if cmd[0] != "RUN":
@@ -90,6 +107,7 @@ def main() -> None:
             if p["numInputRows"] > 0
         ) / 1000.0
         q.stop()
+        unload_state_stores(spark)
         rows_out = t["output"].read(spark).count()
         print("RESULT " + json.dumps(
             {"cores": cores, "wall_s": round(wall, 2), "busy_s": round(busy, 2),

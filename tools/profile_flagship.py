@@ -107,8 +107,11 @@ def main(cores: int, n: int) -> None:
         for p in progress:
             tag = "flush" if p["numInputRows"] == 0 else f"data({p['numInputRows']})"
             d = p["durationMs"]
-            print(f"batch {p['batchId']} {tag}: total={d.get('triggerExecution',0)/1e3:.2f}s "
-                  f"addBatch={d.get('addBatch',0)/1e3:.2f} getBatch={d.get('getBatch',0)/1e3:.2f}")
+            rest = " ".join(
+                f"{k}={v/1e3:.2f}" for k, v in sorted(d.items())
+                if k not in ("triggerExecution",)
+            )
+            print(f"batch {p['batchId']} {tag}: total={d.get('triggerExecution',0)/1e3:.2f}s {rest}")
             for so in p.get("stateOperators", []):
                 print(f"  state: rowsUpdated={so.get('numRowsUpdated')} updateMs={so.get('allUpdatesTimeMs')} "
                       f"commitMs={so.get('commitTimeMs')} stateMemMB={so.get('memoryUsedBytes',0)/1e6:.0f}")

@@ -97,6 +97,59 @@ def _ivf_centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_lists: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) codebook for the IVF path, trained
+    distributed: assignment is the same stacked-matmul pandas UDF the
+    query path uses; the update step is a posexplode → (list, pos)
+    partial-aggregated mean — one map-side-combined exchange of
+    n_lists x dim cells per iteration, never the vectors themselves.
+    Only the codebook (n_lists x dim floats — model parameters, not
+    data) returns to the driver between iterations.
+
+    At 10^12-vector scale you train on a sample (``sample_fraction``;
+    the standard IVF recipe) and broadcast the codebook — the
+    assignment/build cost is the full-corpus pass that follows in
+    ivf_topk/index build, not this. Empty lists keep their previous
+    centroid (the usual Lloyd fallback). Deterministic: seeded init,
+    seeded sample, and mean/normalize are order-insensitive.
+
+    Returns the codebook; pass it to ivf_topk(centroids=...).
+    """
+    base = _spread(emb, id_col).select(F.col(vec_col).alias("_v"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    base = base.persist()
+    try:
+        centroids = _ivf_centroids(dim, n_lists, seed)
+        for _ in range(iters):
+            assign = _assign_udf(centroids, 1)
+            cells = (
+                base.select(F.explode(assign(F.col("_v"))).alias("list_id"), F.col("_v"))
+                .select("list_id", F.posexplode("_v").alias("pos", "x"))
+                .groupBy("list_id", "pos")
+                .agg(F.avg("x").alias("mean"), F.count("x").alias("n"))
+                .collect()
+            )
+            new = centroids.copy()  # empty lists keep their centroid
+            for r in cells:
+                new[r["list_id"], r["pos"]] = r["mean"]
+            norms = np.linalg.norm(new, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            centroids = new / norms
+        return centroids
+    finally:
+        base.unpersist()
+
+
 def _assign_udf(centroids: np.ndarray, n_probe: int):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(vecs: pd.Series) -> pd.Series:
@@ -127,6 +180,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """ANN top-k via inverted-file partitioning (the IVF scale path).
 
@@ -136,8 +190,12 @@ def ivf_topk(
     written PARTITIONED BY list_id, so a query reads n_probe/n_lists of
     the data — partition pruning does the candidate selection. Recall<1
     by construction — tested against the exact baseline, not an oracle.
+
+    ``centroids``: a trained codebook (ivf_train) — defaults to the
+    seeded deterministic one so registry/oracle runs stay reproducible.
     """
-    centroids = _ivf_centroids(dim, n_lists, seed)
+    if centroids is None:
+        centroids = _ivf_centroids(dim, n_lists, seed)
     corpus_assign = _assign_udf(centroids, 1)
     query_assign = _assign_udf(centroids, n_probe)
 

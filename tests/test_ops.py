@@ -188,3 +188,41 @@ def test_lsh_materialized_index_prunes_partitions(spark, emb, tmp_path):
     assert "PartitionFilters: [" in plan
     scan = plan[plan.index("PartitionFilters: ["):]
     assert "band" in scan[:400] and "bv" in scan[:400]
+
+
+def test_ivf_train_improves_objective_and_recall_floor(spark, emb):
+    """Lloyd-trained codebook: deterministic, unit-norm, monotone on the
+    spherical k-means objective vs the seeded init, and the trained
+    ivf_topk keeps the recall floor of the seeded one."""
+    import numpy as np
+
+    from hydra_spark.ops.similarity import (
+        _ivf_centroids, cosine_topk, ivf_topk, ivf_train,
+    )
+
+    trained = ivf_train(emb, n_lists=16, iters=4, seed=42)
+    again = ivf_train(emb, n_lists=16, iters=4, seed=42)
+    assert np.array_equal(trained, again), "training must be deterministic"
+    assert trained.shape == (16, 64)
+    np.testing.assert_allclose(np.linalg.norm(trained, axis=1), 1.0, rtol=1e-9)
+
+    V = np.array(
+        [r[0] for r in emb.where(F.col("embedding").isNotNull()).select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def objective(C):  # mean best-centroid cosine — what Lloyd ascends
+        return float((Vn @ C.T).max(axis=1).mean())
+
+    seeded = _ivf_centroids(64, 16, 42)
+    assert objective(trained) > objective(seeded), "Lloyd must improve the fit"
+
+    qids = list(range(10))
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, qids, k=3).collect()}
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, qids, k=3, n_lists=16, n_probe=6, centroids=trained).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"trained-IVF recall@3 {recall:.2f}"

@@ -426,10 +426,10 @@ def oracle_sql() -> dict[str, str]:
         "defaults_fill_nested": """
             WITH p AS (SELECT event_id,
                     CASE CAST(event_id % 4 AS INT)
-                      WHEN 0 THEN '{"k":' || json_extract_string(props,'$.k')
+                      WHEN 0 THEN '{"k":' || coalesce(json_extract_string(props,'$.k'), 'null')
                            || ',"rec":{"a":10,"b":"x"},"cfg":{},"arr":[{"a":1},{}],"m":{"x":{"a":2}}}'
                       WHEN 1 THEN '{"rec":{"a":11}}'
-                      WHEN 2 THEN '{"k":' || json_extract_string(props,'$.k') || ',"rec":null,"cfg":null}'
+                      WHEN 2 THEN '{"k":' || coalesce(json_extract_string(props,'$.k'), 'null') || ',"rec":null,"cfg":null}'
                       ELSE '{"arr":[{"a":3,"b":"y"},{"b":"z"}],"m":{"p":{},"q":{"a":4}}}'
                     END AS payload
                   FROM events)
@@ -478,7 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_report": """
             WITH p AS (SELECT event_id,
                     CASE WHEN event_id % 40 = 0
-                         THEN '{"k":' || json_extract_string(props,'$.k') || ',"pad":"' || repeat('x',500) || '"}'
+                         THEN '{"k":' || coalesce(json_extract_string(props,'$.k'), 'null') || ',"pad":"' || repeat('x',500) || '"}'
                          WHEN event_id % 25 = 0 THEN 'x' || props
                          ELSE props END AS payload
                   FROM events),
@@ -569,8 +569,8 @@ def oracle_sql() -> dict[str, str]:
         "strict_extra_fields": """
             WITH p AS (SELECT event_id,
                     CASE WHEN event_id % 10 = 0
-                         THEN '{"k":' || json_extract_string(props,'$.k') || ',"extra1":1,"nested":{"a":1,"zz":2}}'
-                         ELSE '{"k":' || json_extract_string(props,'$.k') || ',"nested":{"a":1}}' END AS payload
+                         THEN '{"k":' || coalesce(json_extract_string(props,'$.k'), 'null') || ',"extra1":1,"nested":{"a":1,"zz":2}}'
+                         ELSE '{"k":' || coalesce(json_extract_string(props,'$.k'), 'null') || ',"nested":{"a":1}}' END AS payload
                   FROM events),
             e AS (SELECT event_id,
                     list_sort(list_concat(

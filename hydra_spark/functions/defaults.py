@@ -82,9 +82,14 @@ def _fill_typed(col: Column, t) -> Column:
     if isinstance(t, dict) and "struct" in t:
         rebuilt = F.struct(
             *[
-                F.coalesce(col.getField(f["name"]), _default_lit(f)).alias(f["name"])
-                if "default" in f
-                else _fill_typed(col.getField(f["name"]), f["type"]).alias(f["name"])
+                # recurse FIRST (handleRecord descends into present
+                # values even when the field carries a default), then
+                # let the default cover the absent/null case
+                (
+                    F.coalesce(_fill_typed(col.getField(f["name"]), f["type"]), _default_lit(f))
+                    if "default" in f
+                    else _fill_typed(col.getField(f["name"]), f["type"])
+                ).alias(f["name"])
                 for f in t["struct"]
             ]
         )

@@ -59,6 +59,15 @@ def pin_state_format(checkpoint_dir: str, version: int = STATE_FORMAT_VERSION) -
                 f"v{version}; resume would misinterpret state — start from a fresh checkpoint"
             )
         return
+    # marker absent but the checkpoint already holds streaming state:
+    # it predates version markers (= v1) — stamping it with the CURRENT
+    # version here would be exactly the silent reinterpretation this
+    # function exists to prevent
+    if os.path.exists(os.path.join(checkpoint_dir, "offsets")):
+        raise StateFormatError(
+            f"checkpoint {checkpoint_dir} predates state-format markers (assumed v1), "
+            f"engine expects v{version}; start from a fresh checkpoint"
+        )
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"state_format_version": version}, f)

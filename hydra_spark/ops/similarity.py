@@ -119,8 +119,12 @@ def ivf_train(
     the standard IVF recipe) and broadcast the codebook — the
     assignment/build cost is the full-corpus pass that follows in
     ivf_topk/index build, not this. Empty lists keep their previous
-    centroid (the usual Lloyd fallback). Deterministic: seeded init,
-    seeded sample, and mean/normalize are order-insensitive.
+    centroid (the usual Lloyd fallback). Reproducible: seeded init and
+    seeded sample give the same assignments every run; the distributed
+    mean, however, merges per-partition partial sums in shuffle-fetch
+    order, and float64 addition is not associative — repeated runs
+    agree to ~1 ulp (allclose), NOT bitwise. Registry/oracle paths that
+    need bitwise runs use the seeded codebook, not a trained one.
 
     Returns the codebook; pass it to ivf_topk(centroids=...).
     """
@@ -306,10 +310,16 @@ def lsh_index_topk(
     (PartitionFilters in the plan — asserted by tests/test_ops.py).
     Output and semantics identical to lsh_topk at the same params."""
     qrows = (
-        emb.where(F.col(id_col).isin(query_ids))
+        # NULL-embedding queries contribute no probes (matches the
+        # ivf/lsh paths, whose signature UDFs mask NULL vectors)
+        emb.where(F.col(id_col).isin(query_ids) & F.col(vec_col).isNotNull())
         .select(id_col, vec_col)
         .collect()
     )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qids = [int(r[0]) for r in qrows]
     qv = np.array([r[1] for r in qrows], dtype=np.float64)
     per_q = _band_probes(qids, qv, n_bits, bands, seed)
@@ -426,7 +436,9 @@ def lsh_topk(
         ).alias("_bb"),
     ).select("neighbor_id", "_cv", "_cn", "_bb.band", "_bb.bv")
     # query side: own bucket + all hamming-1 probes per band
-    q = base.where(F.col(id_col).isin(query_ids)).select(
+    # (NULL-embedding queries contribute no probes — parity with
+    # lsh_index_topk and the IVF path)
+    q = base.where(F.col(id_col).isin(query_ids) & F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), F.col("_n").alias("_qn"),
         F.explode(
             F.array(*[

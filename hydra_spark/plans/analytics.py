@@ -257,7 +257,10 @@ def defaults_fill_nested(spark, sf_dir):
     from hydra_spark.functions.defaults import fill_defaults_json
 
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k")
+    # a props row lacking $.k yields explicit JSON null, never a NULL
+    # payload — keeps engine and oracle on the same branch even if a
+    # fixture refresh adds missing-k rows (oracle guards identically)
+    k = F.coalesce(F.get_json_object("props", "$.k"), F.lit("null"))
     payload = (
         F.when(
             F.col("event_id") % 4 == 0,
@@ -459,7 +462,10 @@ def strict_extra_fields(spark, sf_dir):
     from hydra_spark import validation as V
 
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k")
+    # a props row lacking $.k yields explicit JSON null, never a NULL
+    # payload — keeps engine and oracle on the same branch even if a
+    # fixture refresh adds missing-k rows (oracle guards identically)
+    k = F.coalesce(F.get_json_object("props", "$.k"), F.lit("null"))
     payload = (
         F.when(
             F.col("event_id") % 10 == 0,
@@ -628,7 +634,10 @@ def ingest_report(spark, sf_dir):
     from hydra_spark.ingest_flow import ingest_requests
 
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k")
+    # a props row lacking $.k yields explicit JSON null, never a NULL
+    # payload — keeps engine and oracle on the same branch even if a
+    # fixture refresh adds missing-k rows (oracle guards identically)
+    k = F.coalesce(F.get_json_object("props", "$.k"), F.lit("null"))
     payload = (
         F.when(
             F.col("event_id") % 40 == 0,

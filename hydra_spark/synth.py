@@ -239,12 +239,10 @@ def split_streams(
     # file), so it must comfortably exceed the executor core count
     aud.repartition(files).write.mode("overwrite").parquet(audio_dir)
 
-    h = F.abs(F.hash("clip_id"))
-    delay_s = (
-        F.when(h % 100 < int(very_late_pct * 100), 90 + (h % 30))  # beyond 60s tolerance
-        .when(h % 100 < int((late_pct + very_late_pct) * 100), 1 + (h % 45))
-        .otherwise(0)
-    )
+    # single source of truth for the delay bands — write_streams_direct's
+    # row-identity to this path (tests/test_synth_direct.py) depends on
+    # both callers sharing this expression
+    delay_s = _transcript_delay_col(late_pct, very_late_pct)
     tr = (
         clips.where(F.col("transcript").isNotNull())
         .select(

@@ -202,7 +202,9 @@ def test_ivf_train_improves_objective_and_recall_floor(spark, emb):
 
     trained = ivf_train(emb, n_lists=16, iters=4, seed=42)
     again = ivf_train(emb, n_lists=16, iters=4, seed=42)
-    assert np.array_equal(trained, again), "training must be deterministic"
+    # distributed float64 mean merges partials in shuffle-fetch order —
+    # reproducible to ~1 ulp, not bitwise (see ivf_train docstring)
+    np.testing.assert_allclose(trained, again, rtol=0, atol=1e-12)
     assert trained.shape == (16, 64)
     np.testing.assert_allclose(np.linalg.norm(trained, axis=1), 1.0, rtol=1e-9)
 

@@ -45,7 +45,9 @@ def _clips(spark: SparkSession) -> DataFrame:
     path = os.path.join(root, f"clips_n{_CLIPS_N}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth.write_clips(spark, path, _CLIPS_N, files=8)
-    fpath = path + "_features"
+    # _v2: schema grew n_zero_cross/n_silent (clips_audio_stats); the
+    # suffix bump invalidates pre-v2 cached fixtures
+    fpath = path + "_features_v2"
     if not os.path.exists(os.path.join(fpath, "_SUCCESS")):
         # expected decode features via the per-row float64 oracle path —
         # lets DuckDB verify the vectorized decode + window rollup
@@ -97,6 +99,18 @@ def clips_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_peak", 4).alias("max_peak"),
         "n_with_transcript",
     )
+
+
+def clips_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip activity stats through the vectorized Arrow decode path
+    (decode_features extended=True): zero-crossing and silent-sample
+    counts — the audio-quality signals a training-data pipeline filters
+    on. Integer counts, so DuckDB verifies them EXACTLY against the
+    fixture's independently computed per-row features parquet."""
+    from hydra_spark.functions.decode import decode_features
+
+    d = decode_features(_clips(spark), extended=True).where(F.col("decode_error").isNull())
+    return d.select("clip_id", "n_samples", "n_zero_cross", "n_silent")
 
 
 def transcript_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,12 +248,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (stubbed codec, real Spark plumbing)
         "media_feature_dims": media_feature_dims,
         "frame_sample": frame_sample,
-        # streaming engine (clips): sample_rollup + normalize are
-        # oracle-checked against the deterministic fixture parquet;
-        # clips_window_rollup (rms/peak — audio math, not SQL) stays
-        # rows-only with the numpy-parity pytest oracle
+        # streaming engine (clips): all oracle-checked against the
+        # deterministic fixture parquet — sample_rollup/audio_stats via
+        # byte-derivable or integer-exact projections, window_rollup via
+        # the per-row expected-features fixture join
         "clips_sample_rollup": clips_sample_rollup,
         "clips_window_rollup": clips_window_rollup,
+        "clips_audio_stats": clips_audio_stats,
         "clips_transcript_normalize": clips_transcript_normalize,
     }
 
@@ -781,7 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_window_rollup": """
             WITH c AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
                        WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL),
-            f AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500_features/*.parquet')),
+            f AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v2/*.parquet')),
             j AS (SELECT CAST(floor(epoch(c.event_time)/10)*10 AS BIGINT) AS window_start_s,
                          c.codec, f.n_samples, f.rms_db, f.peak, c.transcript
                   FROM c JOIN f USING (clip_id)
@@ -792,6 +807,11 @@ def oracle_sql() -> dict[str, str]:
                    round(max(peak), 4) AS max_peak,
                    CAST(sum(CASE WHEN transcript IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_transcript
             FROM j GROUP BY 1,2
+        """,
+        "clips_audio_stats": """
+            SELECT clip_id, n_samples, n_zero_cross, n_silent
+            FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v2/*.parquet')
+            WHERE n_samples IS NOT NULL
         """,
         "clips_transcript_normalize": """
             SELECT clip_id,

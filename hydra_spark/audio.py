@@ -23,6 +23,12 @@ import numpy as np
 
 SUPPORTED_CODECS = ("pcm16", "ulaw", "alaw")
 
+# Silence threshold for activity stats: |sample| <= EPS counts as silent.
+# One shared constant so the engine's vectorized path and the per-row
+# oracle path compare the SAME float32 samples against the SAME bound —
+# the comparison is then deterministic even exactly at the boundary.
+SILENCE_EPS = np.float32(1e-3)
+
 _MU = 255.0
 _A = 87.6
 _LN_A = 1.0 + np.log(_A)
@@ -105,6 +111,24 @@ def decode(buf: bytes, codec: str) -> np.ndarray:
     if codec == "alaw":
         return decode_alaw(buf)
     raise ValueError(f"unsupported codec: {codec}")
+
+
+# ---------------------------------------------------------------- stats
+
+def zero_crossings(x: np.ndarray) -> int:
+    """Count of adjacent sample pairs whose (x < 0) sign differs.
+
+    Per-row oracle form of the engine's vectorized per-segment version
+    (functions/decode.py). Uses ``x < 0`` (not signbit) so -0.0 and
+    +0.0 are both "non-negative" — no dependence on the zero's sign bit.
+    """
+    neg = x < np.float32(0.0)
+    return int(np.count_nonzero(neg[1:] != neg[:-1]))
+
+
+def silent_samples(x: np.ndarray, eps: np.float32 = SILENCE_EPS) -> int:
+    """Count of samples with |x| <= eps (see SILENCE_EPS)."""
+    return int(np.count_nonzero(np.abs(x) <= eps))
 
 
 # ---------------------------------------------------------------- metrics

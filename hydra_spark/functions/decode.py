@@ -36,6 +36,15 @@ FEATURE_FIELDS = [
     T.StructField("decode_error", T.StringType(), True),
 ]
 
+# opt-in activity stats (decode_features(extended=True)): integer counts,
+# exactly comparable against the per-row fixture oracle in SQL. Kept off
+# the flagship hot path — the prefix-sum/threshold passes are cheap but
+# not free, and the streaming bench measures the default path.
+EXTENDED_FIELDS = [
+    T.StructField("n_zero_cross", T.IntegerType(), True),
+    T.StructField("n_silent", T.IntegerType(), True),
+]
+
 
 def _decode_one(buf, codec: str):
     try:
@@ -102,8 +111,15 @@ def _group_features(x: np.ndarray, bounds: np.ndarray):
     return rms, peak
 
 
-def decode_features(df: DataFrame) -> DataFrame:
+def decode_features(df: DataFrame, extended: bool = False) -> DataFrame:
     """bytes+codec -> scalar features; bytes column dropped after decode.
+
+    ``extended=True`` additionally emits per-clip activity stats
+    (n_zero_cross, n_silent — see audio.SILENCE_EPS), computed in the
+    same chunked vectorized pass: zero crossings via one prefix-sum over
+    sign-change pairs indexed at segment bounds, silent counts via
+    ``add.reduceat`` over the threshold mask. Both are 0 (not NULL) on
+    error rows — meaningful only where ``decode_error`` is null.
 
     THE hot path, so it is ``mapInArrow`` + zero-copy numpy views over
     the Arrow buffers: the payload bytes of a whole batch stay in ONE
@@ -119,7 +135,12 @@ def decode_features(df: DataFrame) -> DataFrame:
     import pyarrow as pa
 
     keep = [f for f in df.schema.fields if f.name != "bytes"]
-    out_schema = T.StructType(keep + FEATURE_FIELDS)
+    feat_fields = (
+        FEATURE_FIELDS[:-1] + EXTENDED_FIELDS + FEATURE_FIELDS[-1:]
+        if extended
+        else FEATURE_FIELDS
+    )
+    out_schema = T.StructType(keep + feat_fields)
     keep_names = [f.name for f in keep]
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -129,15 +150,11 @@ def decode_features(df: DataFrame) -> DataFrame:
             n = rb.num_rows
             names = rb.schema.names
             if n == 0:  # empty batch: no offsets/data buffers to view
+                pa_types = {"integer": pa.int32(), "double": pa.float64(), "string": pa.string()}
                 yield pa.RecordBatch.from_arrays(
                     [rb.column(names.index(k)) for k in keep_names]
-                    + [
-                        pa.array([], type=pa.int32()),
-                        pa.array([], type=pa.float64()),
-                        pa.array([], type=pa.float64()),
-                        pa.array([], type=pa.string()),
-                    ],
-                    names=keep_names + [f.name for f in FEATURE_FIELDS],
+                    + [pa.array([], type=pa_types[f.dataType.typeName()]) for f in feat_fields],
+                    names=keep_names + [f.name for f in feat_fields],
                 )
                 continue
             barr = rb.column(names.index("bytes"))
@@ -156,6 +173,9 @@ def decode_features(df: DataFrame) -> DataFrame:
             rms = np.full(n, np.nan)
             peak = np.full(n, np.nan)
             err = np.full(n, None, dtype=object)
+            if extended:
+                zc = np.zeros(n, dtype=np.int32)
+                sil = np.zeros(n, dtype=np.int32)
 
             err[is_null] = "ValueError: null bytes"
             known = np.isin(codec, list(audio.SUPPORTED_CODECS))
@@ -203,6 +223,19 @@ def decode_features(df: DataFrame) -> DataFrame:
                         r, p = _group_features(x, bounds)
                         rms[r_c[nz]] = r
                         peak[r_c[nz]] = p
+                        if extended:
+                            # crossings: pair i = (x[i], x[i+1]); C[j] =
+                            # crossing pairs with index < j, so a segment
+                            # [s, e) (pairs s..e-2) holds C[e-1] - C[s]
+                            neg = x < np.float32(0.0)
+                            C = np.zeros(len(x), dtype=np.int32)
+                            if len(x) > 1:
+                                np.cumsum(neg[1:] != neg[:-1], out=C[1:])
+                            ends = np.append(bounds[1:], len(x))
+                            zc[r_c[nz]] = C[ends - 1] - C[bounds]
+                            sil[r_c[nz]] = np.add.reduceat(
+                                (np.abs(x) <= audio.SILENCE_EPS).astype(np.int32), bounds
+                            )
                     start = end
 
             arrays = [rb.column(names.index(k)) for k in keep_names]
@@ -210,10 +243,12 @@ def decode_features(df: DataFrame) -> DataFrame:
                 pa.array(ns, type=pa.int32()),
                 pa.array(rms, type=pa.float64(), from_pandas=True),
                 pa.array(peak, type=pa.float64(), from_pandas=True),
-                pa.array(err, type=pa.string(), from_pandas=True),
             ]
+            if extended:
+                arrays += [pa.array(zc, type=pa.int32()), pa.array(sil, type=pa.int32())]
+            arrays.append(pa.array(err, type=pa.string(), from_pandas=True))
             yield pa.RecordBatch.from_arrays(
-                arrays, names=keep_names + [f.name for f in FEATURE_FIELDS]
+                arrays, names=keep_names + [f.name for f in feat_fields]
             )
 
     return df.mapInArrow(fn, schema=out_schema)

@@ -176,13 +176,16 @@ def write_clips(
 def write_clip_features(
     spark: SparkSession, clips_dir: str, out_dir: str
 ) -> str:
-    """Per-clip EXPECTED decode features (n_samples, rms_db, peak) for
+    """Per-clip EXPECTED decode features (n_samples, rms_db, peak,
+    n_zero_cross, n_silent) for
     the fixture oracle, computed by the per-row float64 numpy path —
     audio.decode per clip, full-precision stats — NOT the engine's
     vectorized LUT/reduceat hot path. Written next to the clips parquet
     so DuckDB can join expected features and verify the engine's
     decode + window rollup end-to-end (the driver-oracle analog of the
     pytest per-row parity test)."""
+
+    cols = ["clip_id", "n_samples", "rms_db", "peak", "n_zero_cross", "n_silent"]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -191,16 +194,17 @@ def write_clip_features(
                 try:
                     x = audio.decode(None if buf is None else bytes(buf), str(codec))
                 except Exception:
-                    rows.append((cid, None, None, None))
+                    rows.append((cid, None, None, None, None, None))
                     continue
                 n = len(x)
+                zc, sil = audio.zero_crossings(x), audio.silent_samples(x)
                 if n == 0:
-                    rows.append((cid, 0, None, None))
+                    rows.append((cid, 0, None, None, zc, sil))
                     continue
                 p = float(np.sum(np.square(x, dtype=np.float64))) / n
                 rms = 10.0 * np.log10(p) if p > 0 else float("-inf")
-                rows.append((cid, n, rms, float(np.max(np.abs(x)))))
-            yield pd.DataFrame(rows, columns=["clip_id", "n_samples", "rms_db", "peak"])
+                rows.append((cid, n, rms, float(np.max(np.abs(x))), zc, sil))
+            yield pd.DataFrame(rows, columns=cols)
 
     schema = T.StructType(
         [
@@ -208,6 +212,8 @@ def write_clip_features(
             T.StructField("n_samples", T.IntegerType(), True),
             T.StructField("rms_db", T.DoubleType(), True),
             T.StructField("peak", T.DoubleType(), True),
+            T.StructField("n_zero_cross", T.IntegerType(), True),
+            T.StructField("n_silent", T.IntegerType(), True),
         ]
     )
     clips = spark.read.parquet(clips_dir).select("clip_id", "bytes", "codec")

@@ -46,6 +46,42 @@ def test_bad_records_quarantined_not_fatal(spark, tmp_path):
     assert all("ValueError" in x for x in reasons)
 
 
+def test_extended_stats_match_per_row_oracle(spark, clips):
+    """extended=True activity stats (zero crossings via prefix-sum at
+    segment bounds, silent counts via reduceat) must equal the per-row
+    oracle EXACTLY — integer counts over bit-identical decoded samples."""
+    sample = clips.limit(150)
+    feats = decode_features(sample, extended=True).toPandas().set_index("clip_id")
+    src = sample.select("clip_id", "bytes", "codec").toPandas()
+    for _, r in src.iterrows():
+        x = audio.decode(bytes(r["bytes"]), r["codec"])
+        got = feats.loc[r["clip_id"]]
+        assert int(got.n_zero_cross) == audio.zero_crossings(x), r["clip_id"]
+        assert int(got.n_silent) == audio.silent_samples(x), r["clip_id"]
+
+
+def test_extended_stats_edge_cases(spark):
+    """Empty / 1-sample / odd-length-pcm16 / unknown-codec rows through
+    the extended path: errors quarantined, tiny segments counted right."""
+    rows = [
+        ("empty", b"", "pcm16"),
+        ("one", audio.encode_pcm16(np.array([0.5], dtype=np.float32)), "pcm16"),
+        ("two-cross", audio.encode_pcm16(np.array([0.5, -0.5], dtype=np.float32)), "pcm16"),
+        ("silent", audio.encode_pcm16(np.zeros(10, dtype=np.float32)), "pcm16"),
+        ("odd", b"\x00\x01\x02", "pcm16"),
+        ("bad-codec", b"\x00\x01", "opus"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r.clip_id: r for r in decode_features(df, extended=True).collect()}
+    assert got["empty"].decode_error is None and got["empty"].n_samples == 0
+    assert got["empty"].n_zero_cross == 0 and got["empty"].n_silent == 0
+    assert got["one"].n_zero_cross == 0 and got["one"].n_silent == 0
+    assert got["two-cross"].n_zero_cross == 1
+    assert got["silent"].n_silent == 10 and got["silent"].n_zero_cross == 0
+    assert got["odd"].decode_error is not None
+    assert got["bad-codec"].decode_error is not None
+
+
 def test_vectorized_features_match_per_row_oracle(spark, clips):
     """The zero-copy Arrow decode (LUT + reduceat) must agree with a
     per-row float64 oracle on rms/peak to near machine precision."""

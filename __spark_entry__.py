@@ -155,6 +155,41 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(media, every_n=10).select("media_id", "frame_idx")
 
 
+# ------------------------------------------------------------- ANN index
+
+def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k served from the materialized LSH bucket index — the
+    deployment shape at scale: the corpus index is written once
+    (PARTITIONED BY (band, bv)) and amortized across every query batch,
+    so a query reads only its probe partitions via static pruning
+    (ann-benchmarks methodology: build cost and query latency are
+    separate numbers; bench.py reports the build as its own line).
+    Results are identical to ann_lsh_topk at the same params —
+    pytest-asserted parity + partition-pruning plan guard
+    (tests/test_ops.py::test_lsh_materialized_index_prunes_partitions).
+    The index is keyed by the embeddings file's mtime, so a fixture
+    refresh rebuilds it."""
+    from hydra_spark.ops import similarity as SIM
+
+    emb = A.load(spark, sf_dir, "embeddings")
+    path = ensure_lsh_index(spark, sf_dir)
+    return SIM.lsh_index_topk(spark, path, emb, list(range(25)), k=3)
+
+
+def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the materialized LSH bucket index for sf_dir's
+    embeddings table; returns its path. Separate from the query so
+    bench.py can time build and query as distinct numbers."""
+    from hydra_spark.ops import similarity as SIM
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
+    path = os.path.join("/root/repo/.data/lsh_index", key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        SIM.lsh_index_write(A.load(spark, sf_dir, "embeddings"), path)
+    return path
+
+
 # --------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -231,6 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": emb(lambda e: S.cosine_topk(e, list(range(25)), k=3)),
         "embedding_cosine_dup": emb(lambda e: S.cosine_pairs(e, threshold=0.4)),
         "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
+        # same results served from the materialized bucket index (the
+        # amortized at-scale shape; build reported separately in bench)
+        "ann_lsh_indexed": ann_lsh_indexed,
         "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
         # probing every list turns IVF into exact search — verifies the
         # assign/explode/bucket-join/re-rank machinery against the

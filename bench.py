@@ -113,6 +113,7 @@ HEADLINE = [
     "minhash_lsh_dup",
     "embedding_cosine_topk",
     "ann_lsh_topk",
+    "ann_lsh_indexed",
     "lang_id",
     "quality_score",
     "token_counts",
@@ -137,6 +138,17 @@ def run_headline(spark) -> dict[str, float]:
     _force(spark.read.parquet(f"{SF_DIR}/events.parquet").limit(1000))
     _warm_python_workers(spark, CPUS)
     out: dict[str, float] = {}
+    # ann_lsh_indexed queries a PRE-BUILT bucket index (the amortized
+    # deployment shape — ann-benchmarks methodology separates build
+    # cost from query latency). Build it before the timed region and
+    # report the build as its own line, not hidden in the query number.
+    if "ann_lsh_indexed" in HEADLINE:
+        import shutil
+
+        shutil.rmtree("/root/repo/.data/lsh_index", ignore_errors=True)
+        t0 = time.time()
+        E.ensure_lsh_index(spark, SF_DIR)
+        out["ann_lsh_index_build"] = round(time.time() - t0, 3)
     for name in HEADLINE:
         t0 = time.time()
         _force(qs[name](spark, SF_DIR))
@@ -497,7 +509,9 @@ def main() -> None:
     result = {
         "metric": "headline suite wall time (sum of per-query sec); "
                   "streaming north-rule metric under 'streaming'",
-        "value": round(sum(queries.values()), 3),
+        # the one-time index build is reported but not part of the
+        # per-query suite sum (amortized prep, like the parquet files)
+        "value": round(sum(v for k, v in queries.items() if k != "ann_lsh_index_build"), 3),
         "unit": "sec",
         "queries": queries,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),

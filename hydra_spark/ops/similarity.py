@@ -270,25 +270,68 @@ def lsh_index_write(
     static partition pruning (lsh_index_topk). At 10^12 vectors this is
     the difference between scanning bands/2^width of the corpus and
     scanning all of it."""
-    width = n_bits // bands
-    band_mask = (1 << width) - 1
-    sig = _hyperplane_udf(dim, n_bits, seed)
-    base = _spread(emb, id_col).select(
-        F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("_sig"),
-        _norm_col(vec_col).alias("_n"),
-    )
-
-    def band_val(b: int):
-        return F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(F.lit(band_mask))
-
-    rows = base.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col("_n").alias("_cn"),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), band_val(b).alias("bv")) for b in range(bands)])
-        ).alias("_bb"),
-    ).select("neighbor_id", "_cv", "_cn", "_bb.band", "_bb.bv")
-    rows.write.mode("overwrite").partitionBy("band", "bv").parquet(path)
+    rows = _corpus_buckets(emb, n_bits, bands, seed, id_col, vec_col, dim)
+    # shuffle by the partition key before the dynamic-partition write:
+    # without it every task writes a file into every (band, bv) dir —
+    # tasks × bands × 2^width tiny files (measured 105 s at sf0.1);
+    # with it each dir gets exactly its writers (256 files total here).
+    # Same recipe at scale, with AQE coalescing small shuffle partitions.
+    rows.repartition("band", "bv").write.mode("overwrite").partitionBy("band", "bv").parquet(path)
     return path
+
+
+def _probe_join(
+    corpus_rows: DataFrame,
+    qrows: list,
+    k: int,
+    n_bits: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """Shared tail of both LSH top-k paths: driver-built probe rows
+    (own bucket + hamming-1 per band, via _band_probes) broadcast-joined
+    to corpus bucket rows (neighbor_id, _cv, _cn, band, bv), exact
+    cosine re-rank of candidates only. The query batch is small by
+    definition, so building its probe set driver-side costs one tiny
+    collect and REMOVES a whole executor subtree (signature UDF +
+    explode over the query side) from the plan — at small inputs the
+    query is stage-count-bound, not data-bound."""
+    spark = corpus_rows.sparkSession
+    qids = [int(r[0]) for r in qrows]
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    per_q = _band_probes(qids, qv, n_bits, bands, seed)
+    # one local DataFrame with the query vector inlined per probe row
+    # (|Q| x bands x (1+width) rows — a few thousand at most): no
+    # probe⋈query pre-join stage, just the single broadcast hash join
+    # against the corpus buckets
+    by_id = {
+        int(r[0]): (
+            [float(x) for x in r[1]],
+            float(np.linalg.norm(np.asarray(r[1], dtype=np.float64))),
+        )
+        for r in qrows
+    }
+    probe_df = spark.createDataFrame(
+        [(qid, b, bv, *by_id[qid]) for qid, b, bv in per_q],
+        "query_id long, band int, bv int, _qv array<float>, _qn double",
+    )
+    cand = corpus_rows.join(F.broadcast(probe_df), ["band", "bv"]).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6)
+    # a pair can meet in several probe buckets. dense_rank over the
+    # (cosine desc, neighbor asc) ordering collapses those duplicates to
+    # one rank, and the duplicates are ADJACENT under that ordering, so
+    # a lag() in the same window (same exchange, same sort — zero extra
+    # stages) filters them; no distinct exchange over the candidate set.
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.dense_rank().over(w))
+        .withColumn("_prev", F.lag("neighbor_id").over(w))
+        .where((F.col("rank") <= k) & (F.col("_prev").isNull() | (F.col("_prev") != F.col("neighbor_id"))))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def lsh_index_topk(
@@ -323,19 +366,6 @@ def lsh_index_topk(
     qids = [int(r[0]) for r in qrows]
     qv = np.array([r[1] for r in qrows], dtype=np.float64)
     per_q = _band_probes(qids, qv, n_bits, bands, seed)
-    q = spark.createDataFrame(
-        [
-            (int(r[0]), [float(x) for x in r[1]],
-             float(np.linalg.norm(np.asarray(r[1], dtype=np.float64))))
-            for r in qrows
-        ],
-        "query_id long, _qv array<float>, _qn double",
-    )
-    # (query_id, band, bv) probe rows joined to the query vectors —
-    # exactly lsh_topk's exploded query side, but built driver-side
-    probe_df = spark.createDataFrame(per_q, "query_id long, band int, bv int").join(
-        F.broadcast(q), "query_id"
-    )
     # STATIC pruning predicate over the distinct probe buckets: literal
     # IN-list on the partition columns -> directory-level pruning
     buckets = sorted({(b, v) for _, b, v in per_q})
@@ -345,40 +375,67 @@ def lsh_index_topk(
             [F.struct(F.lit(int(b)), F.lit(int(v))) for b, v in buckets]
         )
     )
-    cand = pruned.join(F.broadcast(probe_df), ["band", "bv"]).where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    cos = F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6)
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.dense_rank().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-        .distinct()
-    )
+    return _probe_join(pruned, qrows, k, n_bits, bands, seed)
 
 
 # ---------------------------------------------------------------- LSH path
 
-def _hyperplane_udf(dim: int, n_bits: int, seed: int):
+def _band_bucket_udf(dim: int, n_bits: int, bands: int, seed: int):
+    """Signature + banding + norm in ONE Arrow round trip: returns
+    (bvs: per-band bucket values indexed by band, n: L2 norm). Doing
+    the band extraction in numpy (instead of sig → 8× shiftright/mask
+    struct-array expressions JVM-side) keeps the Spark plan to a bare
+    posexplode — measurably less codegen to compile on the first run,
+    same rows out. NULL vectors return an empty bvs (no bucket rows
+    after posexplode — parity with the NULL-probe policy)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
     weights = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.float64)
+    width = n_bits // bands
+    shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))
+    band_mask = np.uint64((1 << width) - 1)
 
-    @F.pandas_udf(T.LongType())
-    def sig(vecs: pd.Series) -> pd.Series:
+    @F.pandas_udf("bvs array<int>, n double")
+    def sigbv(vecs: pd.Series) -> pd.DataFrame:
         """Stacked matmul per Arrow batch; bit packing is a second
         matmul against powers of two — no per-row Python."""
         mask = np.array([v is not None for v in vecs])
-        out = np.zeros(len(vecs), dtype=np.int64)
+        bvs = np.empty(len(vecs), dtype=object)
+        norms = np.zeros(len(vecs))
+        for i in np.nonzero(~mask)[0]:  # element-wise: a bulk boolean
+            bvs[i] = []  # assignment would coerce [[]...] to a 2-D array
         if mask.any():
             V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[mask]])
             bits = (V @ planes.T) > 0  # (batch, n_bits)
-            out[mask] = (bits @ weights).astype(np.uint64).astype(np.int64)
-        return pd.Series(out)
+            sigs = (bits @ weights).astype(np.uint64)
+            bvals = ((sigs[:, None] >> shifts[None, :]) & band_mask).astype(np.int32)
+            for i, row in zip(np.nonzero(mask)[0], bvals):
+                bvs[i] = row
+            norms[mask] = np.linalg.norm(V, axis=1)
+        return pd.DataFrame({"bvs": list(bvs), "n": norms})
 
-    return sig
+    return sigbv
+
+
+def _corpus_buckets(
+    emb: DataFrame, n_bits: int, bands: int, seed: int, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Corpus bucket rows (neighbor_id, _cv, _cn, band, bv) — one row
+    per (vector, band); the layout lsh_index_write pre-materializes
+    PARTITIONED BY (band, bv) at scale."""
+    sigbv = _band_bucket_udf(dim, n_bits, bands, seed)
+    return (
+        _spread(emb, id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            sigbv(F.col(vec_col)).alias("_s"),
+        )
+        .select(
+            "neighbor_id", "_cv", F.col("_s.n").alias("_cn"),
+            F.posexplode("_s.bvs").alias("band", "bv"),
+        )
+    )
 
 
 def lsh_topk(
@@ -410,59 +467,24 @@ def lsh_topk(
     driver embeddings — LSH's hardest case): recall@3 0.97 vs 0.75 for
     the old 24/4 config at LOWER cost (narrower bands collide more per
     band; more bands multiply chances; probes/query = 8*(1+5) = 48).
-    The corpus side signs every vector exactly once; the query side's
-    apparent re-read of ``base`` is free — the ``isin(query_ids)``
-    filter pushes below the projection and repartition to the scan, so
-    its signature UDF touches only the |Q| query rows. (A persisted
-    base was measured SLOWER here: cache materialization is a blocking
-    extra stage that outweighs re-signing 25 rows.)
+    The corpus side signs every vector exactly once. The query side is
+    built DRIVER-side (_band_probes over one tiny collect of the |Q|
+    query vectors — same planes, same seed): at small inputs the query
+    is stage-count-bound, not data-bound, and the collect removes a
+    whole executor subtree (second signature-UDF invocation + probe
+    explode) from the plan; at web scale |Q| is small by definition, so
+    the collect stays tiny regardless of corpus size.
     """
-    width = n_bits // bands
-    band_mask = (1 << width) - 1
-    sig = _hyperplane_udf(dim, n_bits, seed)
-    base = _spread(emb, id_col).select(
-        F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("_sig"), _norm_col(vec_col).alias("_n")
+    # NULL-embedding queries contribute no probes — parity with
+    # lsh_index_topk and the IVF path
+    qrows = (
+        emb.where(F.col(id_col).isin(query_ids) & F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .collect()
     )
-
-    def band_val(b: int):
-        return F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(F.lit(band_mask))
-
-    # corpus side: one bucket row per band (this is the layout you'd
-    # pre-materialize PARTITIONED BY (band, bv) at scale)
-    c = base.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col("_n").alias("_cn"),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), band_val(b).alias("bv")) for b in range(bands)])
-        ).alias("_bb"),
-    ).select("neighbor_id", "_cv", "_cn", "_bb.band", "_bb.bv")
-    # query side: own bucket + all hamming-1 probes per band
-    # (NULL-embedding queries contribute no probes — parity with
-    # lsh_index_topk and the IVF path)
-    q = base.where(F.col(id_col).isin(query_ids) & F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), F.col("_n").alias("_qn"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), probe.alias("bv"))
-                for b in range(bands)
-                for probe in [band_val(b)]
-                + [band_val(b).bitwiseXOR(F.lit(1 << j)) for j in range(width)]
-            ])
-        ).alias("_bb"),
-    ).select("query_id", "_qv", "_qn", "_bb.band", "_bb.bv")
-    cand = c.join(F.broadcast(q), ["band", "bv"]).where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    cos = F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6)
-    # a pair can meet in several probe buckets. dense_rank over the
-    # (cosine desc, neighbor asc) ordering collapses those duplicates to
-    # one rank — row_number over distinct pairs, without a full-size
-    # distinct exchange of the candidate set; the only dedup left is the
-    # post-filter distinct over <= k*dup rows per query.
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.dense_rank().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-        .distinct()
-    )
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    c = _corpus_buckets(emb, n_bits, bands, seed, id_col, vec_col, dim)
+    return _probe_join(c, qrows, k, n_bits, bands, seed)

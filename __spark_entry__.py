@@ -265,6 +265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data: similarity
         "embedding_cosine_topk": emb(lambda e: S.cosine_topk(e, list(range(25)), k=3)),
         "embedding_cosine_dup": emb(lambda e: S.cosine_pairs(e, threshold=0.4)),
+        # bucketed scale path for the same near-dup question (no
+        # all-pairs term; precision exact, recall 0.986+ — pytest
+        # oracle vs embedding_cosine_dup in tests/test_ops.py)
+        "embedding_lsh_dup": emb(lambda e: S.lsh_dup(e, threshold=0.4)),
         "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
         # same results served from the materialized bucket index (the
         # amortized at-scale shape; build reported separately in bench)

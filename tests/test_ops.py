@@ -57,6 +57,22 @@ def test_ann_lsh_recall_vs_brute_force(spark, emb):
     assert recall >= 0.9, f"ANN recall@3 {recall:.2f}"
 
 
+def test_lsh_dup_recall_and_exact_precision(spark, emb):
+    from hydra_spark.ops.similarity import cosine_pairs, lsh_dup
+
+    exact = {(r.v1, r.v2): r.cosine for r in cosine_pairs(emb, 0.4).collect()}
+    got = {(r.v1, r.v2): r.cosine for r in lsh_dup(emb, 0.4).collect()}
+    # precision is exact by construction (every candidate verified with
+    # the true cosine) — any emitted pair must be a true pair, with the
+    # identical rounded cosine
+    assert set(got) <= set(exact)
+    assert all(got[p] == exact[p] for p in got)
+    # measured recall: 1.0 at sf0.01, 0.986 at sf0.1 (hamming-1 ball per
+    # band; model ~0.98 at cosine 0.4) — pin no regression below 0.95
+    recall = len(got) / len(exact)
+    assert recall >= 0.95, f"lsh_dup recall {recall:.2f} ({len(exact)} true pairs)"
+
+
 def test_dedup_exact_groups(spark, docs):
     from hydra_spark.ops.dedup import dedup_exact
 

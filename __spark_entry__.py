@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": docs(X.lang_id),
         "quality_score": docs(X.quality_score),
         "token_counts": docs(X.token_counts),
+        "bpe_token_counts": docs(X.bpe_token_counts),
         "doc_fingerprint": docs(X.fingerprint),
         "binary_metadata": docs(X.binary_metadata),
         # multimodal plumbing (stubbed codec, real Spark plumbing)
@@ -768,6 +769,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
             FROM documents GROUP BY 1
+        """,
+        "bpe_token_counts": """
+            -- same GPT-2-style pre-tokenizer pattern as BPE_TOKEN_RE
+            -- (textstats.py); ASCII classes so RE2 and Java agree
+            WITH t AS (SELECT source,
+                              len(regexp_extract_all(text,
+                                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))
+                              AS n FROM documents)
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS total_bpe_tokens,
+                   count(*) AS n_docs,
+                   round(avg(n), 4) AS avg_bpe_tokens
+            FROM t GROUP BY 1
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents

@@ -87,6 +87,31 @@ def token_counts(df: DataFrame, text_col: str = "text", group_col: str = "source
     )
 
 
+# BPE-style pre-tokenizer pattern (the GPT-2 one, minus its trailing
+# lookahead so RE2 engines — the DuckDB oracle — accept it verbatim):
+# contraction suffixes, space-prefixed letter runs, digit runs, symbol
+# runs. Whitespace between tokens is absorbed by the leading " ?"; pure
+# whitespace runs yield no tokens. ASCII classes on purpose: Java and
+# RE2 agree on them exactly (unicode \p{L} semantics differ by engine).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Subword-ish token totals per group: counts matches of the
+    GPT-2-style pre-tokenizer regex (the step before BPE merges — the
+    unit that actually bounds a tokenizer's output length, unlike
+    whitespace words). One regexp_count per row, whole-stage codegen —
+    the same per-group accounting shape as token_counts."""
+    n_tokens = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
+    return df.groupBy(group_col).agg(
+        F.sum(n_tokens).alias("total_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(n_tokens), 4).alias("avg_bpe_tokens"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 over normalized text
     (lower + trim). Identical hex in Spark and ANSI SQL."""

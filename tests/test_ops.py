@@ -73,6 +73,22 @@ def test_lsh_dup_recall_and_exact_precision(spark, emb):
     assert recall >= 0.95, f"lsh_dup recall {recall:.2f} ({len(exact)} true pairs)"
 
 
+def test_bpe_token_counts_matches_python_regex(spark, docs):
+    """Java regexp_count and Python re agree on the BPE pre-tokenizer
+    pattern (the DuckDB oracle pins the RE2 side; this pins Java)."""
+    import re
+    from collections import defaultdict
+
+    from hydra_spark.ops.textstats import BPE_TOKEN_RE, bpe_token_counts
+
+    pat = re.compile(BPE_TOKEN_RE)
+    exp = defaultdict(int)
+    for r in docs.select("source", "text").collect():
+        exp[r.source] += len(pat.findall(r.text))
+    got = {r.source: r.total_bpe_tokens for r in bpe_token_counts(docs).collect()}
+    assert got == dict(exp)
+
+
 def test_dedup_exact_groups(spark, docs):
     from hydra_spark.ops.dedup import dedup_exact
 

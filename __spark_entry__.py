@@ -147,6 +147,21 @@ def media_feature_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media).select("media_id", "n_bytes", "width", "height")
 
 
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over opaque media payloads (stubbed codec, real
+    binary plumbing — ops/multimodal.resize_media). The projection is
+    pure integer arithmetic over sha256(payload), so DuckDB verifies
+    the source-dim derivation, the stride choice and the output byte
+    count end-to-end; payload bytes themselves are pytest-pinned
+    (payload_out == payload[::k])."""
+    from hydra_spark.ops import multimodal as M
+
+    media = M.docs_as_media(A.load(spark, sf_dir, "documents"))
+    return M.resize_media(media, 64, 64).select(
+        "media_id", "src_w", "src_h", "dst_w", "dst_h", "n_bytes", "n_bytes_out"
+    )
+
+
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: JVM-side frame-index expansion."""
     from hydra_spark.ops import multimodal as M
@@ -291,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (stubbed codec, real Spark plumbing)
         "media_feature_dims": media_feature_dims,
         "frame_sample": frame_sample,
+        "media_resize": media_resize,
         # streaming engine (clips): all oracle-checked against the
         # deterministic fixture parquet — sample_rollup/audio_stats via
         # byte-derivable or integer-exact projections, window_rollup via
@@ -565,6 +581,21 @@ def oracle_sql() -> dict[str, str]:
                    64 + (CAST('0x' || substr(sha,1,2) AS INT) % 192) AS width,
                    64 + (CAST('0x' || substr(sha,3,2) AS INT) % 192) AS height
             FROM m
+        """,
+        "media_resize": """
+            WITH m AS (SELECT 'doc-' || doc_id AS media_id, sha256(text) AS sha,
+                              octet_length(encode(text)) AS n_bytes
+                       FROM documents),
+                 d AS (SELECT media_id, n_bytes,
+                              64 + (CAST('0x' || substr(sha,1,2) AS INT) % 192) AS src_w,
+                              64 + (CAST('0x' || substr(sha,3,2) AS INT) % 192) AS src_h
+                       FROM m)
+            SELECT media_id, src_w, src_h,
+                   CAST(64 AS INT) AS dst_w, CAST(64 AS INT) AS dst_h,
+                   CAST(n_bytes AS INT) AS n_bytes,
+                   CAST((n_bytes + GREATEST(1, (src_w*src_h)//4096) - 1)
+                        // GREATEST(1, (src_w*src_h)//4096) AS INT) AS n_bytes_out
+            FROM d
         """,
         "frame_sample": """
             WITH m AS (SELECT 'doc-' || doc_id AS media_id,

@@ -94,6 +94,54 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("src_w", T.IntegerType(), True),
+        T.StructField("src_h", T.IntegerType(), True),
+        T.StructField("dst_w", T.IntegerType(), True),
+        T.StructField("dst_h", T.IntegerType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("n_bytes_out", T.IntegerType(), True),
+        T.StructField("payload_out", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, dst_w: int = 64, dst_h: int = 64, fake: bool = True) -> DataFrame:
+    """payload -> downscaled payload at (dst_w, dst_h), Arrow-batched.
+
+    The codec call is stubbed like extract_features: source dims come
+    from the deterministic sha256 stub, and "resizing" keeps every k-th
+    byte with k = max(1, src_area // dst_area) — a real implementation
+    swaps exactly that line for PIL's resize. The byte plumbing is
+    real (binary in, binary out, n_bytes_out == len(payload_out)), and
+    the whole stage is SQL-checkable end-to-end: dims and output byte
+    counts are pure integer arithmetic over sha256(payload), which the
+    DuckDB oracle recomputes independently (media_resize row)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((mid, None, None, dst_w, dst_h, None, None, None))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real image resize requires PIL (not in container); "
+                        "use fake=True for the deterministic stub"
+                    )
+                b = bytes(p)
+                w, h, _ = _fake_decode(b, "")
+                k = max(1, (w * h) // (dst_w * dst_h))
+                out = b[::k]  # len == ceil(len(b) / k), matching the oracle
+                rows.append((mid, w, h, dst_w, dst_h, len(b), len(out), out))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: expands per-clip frame indexes
     JVM-side (sequence/explode); the per-frame decode would then run in

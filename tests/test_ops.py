@@ -89,6 +89,22 @@ def test_bpe_token_counts_matches_python_regex(spark, docs):
     assert got == dict(exp)
 
 
+def test_resize_media_byte_plumbing(spark, docs):
+    """payload_out really is the strided byte subsample the projection
+    advertises (the oracle checks dims/counts; this pins the bytes)."""
+    from hydra_spark.ops.multimodal import _fake_decode, docs_as_media, resize_media
+
+    media = docs_as_media(docs.limit(20))
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for r in resize_media(media, 64, 64).collect():
+        b = src[r.media_id]
+        w, h, _ = _fake_decode(b, "")
+        k = max(1, (w * h) // 4096)
+        assert (r.src_w, r.src_h, r.dst_w, r.dst_h) == (w, h, 64, 64)
+        assert bytes(r.payload_out) == b[::k]
+        assert r.n_bytes_out == len(b[::k]) and r.n_bytes == len(b)
+
+
 def test_dedup_exact_groups(spark, docs):
     from hydra_spark.ops.dedup import dedup_exact
 

@@ -46,12 +46,25 @@ def _clips(spark: SparkSession) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth.write_clips(spark, path, _CLIPS_N, files=8)
     # _v2: schema grew n_zero_cross/n_silent (clips_audio_stats); the
-    # suffix bump invalidates pre-v2 cached fixtures
+    # suffix bump invalidates pre-v2 cached fixtures. The path must stay
+    # STABLE (the DuckDB oracle SQL hard-codes it), so staleness is
+    # tracked by a source-mtime stamp: regenerating the clips fixture
+    # forces the expected features to regenerate too — they can never be
+    # joined stale against new clips.
     fpath = path + "_features_v2"
-    if not os.path.exists(os.path.join(fpath, "_SUCCESS")):
+    stamp = os.path.join(fpath, "_source_mtime")
+    want = str(int(os.path.getmtime(os.path.join(path, "_SUCCESS"))))
+    fresh = (
+        os.path.exists(os.path.join(fpath, "_SUCCESS"))
+        and os.path.exists(stamp)
+        and open(stamp).read() == want
+    )
+    if not fresh:
         # expected decode features via the per-row float64 oracle path —
         # lets DuckDB verify the vectorized decode + window rollup
-        synth.write_clip_features(spark, path, fpath)
+        synth.write_clip_features(spark, path, fpath)  # mode=overwrite
+        with open(stamp, "w") as f:
+            f.write(want)
     return spark.read.parquet(path)
 
 
@@ -438,10 +451,10 @@ def oracle_sql() -> dict[str, str]:
             cls AS (SELECT conn_id, frame_idx, frame,
                     regexp_matches(frame, '(?i)^-c help') AS is_help,
                     regexp_matches(frame, '(?i)^-c set[ \t]*$') AS is_dump,
-                    regexp_matches(frame, '(?i)^-c set[ \t]*(.*?)=(.*)$') AS is_setkv,
+                    regexp_matches(frame, '(?i)^-c set[ \t]+(.*?)=(.*)$') AS is_setkv,
                     regexp_matches(frame, '(?i)^-c ') OR regexp_matches(frame, '(?i)^-c$') AS is_cmd,
-                    upper(trim(regexp_extract(frame, '(?i)^-c set[ \t]*(.*?)=(.*)$', 1))) AS set_key,
-                    trim(regexp_extract(frame, '(?i)^-c set[ \t]*(.*?)=(.*)$', 2)) AS set_val,
+                    upper(trim(regexp_extract(frame, '(?i)^-c set[ \t]+(.*?)=(.*)$', 1))) AS set_key,
+                    trim(regexp_extract(frame, '(?i)^-c set[ \t]+(.*?)=(.*)$', 2)) AS set_val,
                     row_number() OVER (PARTITION BY conn_id ORDER BY frame_idx) AS rn
                   FROM fr),
             k AS (SELECT *,
@@ -523,13 +536,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CASE WHEN list_contains(json_keys(payload,'$.cfg'),'v')
                                   THEN CAST(json_extract_string(payload,'$.cfg.v') AS BIGINT) ELSE 3 END
                    END AS cfg_v,
-                   CASE WHEN list_contains(json_keys(payload),'arr')
-                        THEN CAST(json_array_length(payload,'$.arr') AS BIGINT) ELSE 0 END AS arr_n,
-                   CASE WHEN list_contains(json_keys(payload),'arr')
-                        THEN CAST(coalesce(list_sum(
+                   CASE WHEN NOT list_contains(json_keys(payload),'arr') THEN 0
+                        WHEN json_type(payload,'$.arr') = 'NULL' THEN NULL
+                        ELSE CAST(json_array_length(payload,'$.arr') AS BIGINT) END AS arr_n,
+                   CASE WHEN NOT list_contains(json_keys(payload),'arr') THEN 0
+                        WHEN json_type(payload,'$.arr') = 'NULL' THEN NULL
+                        ELSE CAST(coalesce(list_sum(
                           [coalesce(CAST(json_extract_string(payload,'$.arr['||x||'].a') AS BIGINT), 5)
                            FOR x IN generate_series(0, CAST(json_array_length(payload,'$.arr') AS INT) - 1)]
-                        ), 0) AS BIGINT) ELSE 0 END AS arr_sum_a,
+                        ), 0) AS BIGINT) END AS arr_sum_a,
                    CASE WHEN list_contains(json_keys(payload),'m') AND json_type(payload,'$.m') != 'NULL'
                         THEN CAST(coalesce(list_sum(
                           [coalesce(CAST(json_extract_string(payload,'$.m.'||mk||'.a') AS BIGINT), 9)
@@ -806,7 +821,7 @@ def oracle_sql() -> dict[str, str]:
             -- (textstats.py); ASCII classes so RE2 and Java agree
             WITH t AS (SELECT source,
                               len(regexp_extract_all(text,
-                                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))
+                                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \\t\\n\\x0B\\f\\rA-Za-z0-9]+'))
                               AS n FROM documents)
             SELECT source,
                    CAST(sum(n) AS BIGINT) AS total_bpe_tokens,

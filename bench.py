@@ -78,6 +78,14 @@ PAIRS = [
     tuple(int(x) for x in p.split(":"))
     for p in os.environ.get("HYDRA_BENCH_PAIRS", "2:8:8,4:16:16:960000").split(",")
 ]
+# back-compat: the pre-PAIRS single-pair knobs still work (a lone
+# LO/HI pair, state partitions = HI per the sp-equals-hi-cores rule);
+# silently ignoring them would let an operator believe they measured a
+# configuration they did not
+if "HYDRA_BENCH_CORES_LO" in os.environ or "HYDRA_BENCH_CORES_HI" in os.environ:
+    _lo = int(os.environ.get("HYDRA_BENCH_CORES_LO", "2"))
+    _hi = int(os.environ.get("HYDRA_BENCH_CORES_HI", str(4 * _lo)))
+    PAIRS = [(_lo, _hi, _hi)]
 # interleaved rounds per level, best-of-k (host bursts move identical
 # runs ±50%; a ratio of two single shots is noise, see worker docstring)
 ROUNDS = int(os.environ.get("HYDRA_BENCH_ROUNDS", "3"))
@@ -292,12 +300,14 @@ def run_streaming_pair(
         hi.run_pass(warm=True)
         r = 0
         while True:
-            # contemporaneous host-state stamps for this round: compute
-            # axis AND memory-bandwidth axis (either can be the one a
-            # co-tenant saturates; they fail independently)
-            ctrl = _quick_control_rate(cores_hi)
-            bw = _quick_bw_rate(cores_hi)
             for w in (lo, hi):
+                # contemporaneous host-state stamps PER TRIAL (compute
+                # axis and memory-bandwidth axis — either can be the one
+                # a co-tenant saturates, and a burst can start mid-round:
+                # a single per-round stamp would mark a pass that ran
+                # inside the burst with the pre-burst healthy reading)
+                ctrl = _quick_control_rate(cores_hi)
+                bw = _quick_bw_rate(cores_hi)
                 res = w.run_pass()
                 res["round"] = r
                 res["ctrl_units_per_sec"] = ctrl

@@ -195,7 +195,7 @@ def ivf_train(
                 base.select(F.explode(assign(F.col("_v"))).alias("list_id"), F.col("_v"))
                 .select("list_id", F.posexplode("_v").alias("pos", "x"))
                 .groupBy("list_id", "pos")
-                .agg(F.avg("x").alias("mean"), F.count("x").alias("n"))
+                .agg(F.avg("x").alias("mean"))
                 .collect()
             )
             new = centroids.copy()  # empty lists keep their centroid
@@ -332,6 +332,15 @@ def lsh_index_write(
     # with it each dir gets exactly its writers (256 files total here).
     # Same recipe at scale, with AQE coalescing small shuffle partitions.
     rows.repartition("band", "bv").write.mode("overwrite").partitionBy("band", "bv").parquet(path)
+    # params sidecar: a query probing with different planes (n_bits/
+    # bands/seed) would prune to buckets that rarely intersect the true
+    # ones and silently return near-empty results — lsh_index_topk
+    # fails fast on a mismatch instead
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_params.json"), "w") as f:
+        json.dump({"n_bits": n_bits, "bands": bands, "seed": seed, "dim": dim}, f)
     return path
 
 
@@ -407,6 +416,23 @@ def lsh_index_topk(
     Catalyst prunes the index scan to the probe partitions
     (PartitionFilters in the plan — asserted by tests/test_ops.py).
     Output and semantics identical to lsh_topk at the same params."""
+    # fail fast if the probe params don't match the ones the index was
+    # built with (different planes -> probes miss the true buckets and
+    # the query silently degrades to near-empty results)
+    import json
+    import os
+
+    params_file = os.path.join(path, "_lsh_params.json")
+    if os.path.exists(params_file):
+        with open(params_file) as f:
+            built = json.load(f)
+        asked = {"n_bits": n_bits, "bands": bands, "seed": seed}
+        if any(built.get(k) != v for k, v in asked.items()):
+            raise ValueError(
+                f"LSH index at {path} was built with "
+                f"{ {k: built.get(k) for k in asked} }, queried with {asked}; "
+                f"rebuild the index or match its params"
+            )
     qrows = (
         # NULL-embedding queries contribute no probes (matches the
         # ivf/lsh paths, whose signature UDFs mask NULL vectors)

@@ -91,9 +91,11 @@ def token_counts(df: DataFrame, text_col: str = "text", group_col: str = "source
 # lookahead so RE2 engines — the DuckDB oracle — accept it verbatim):
 # contraction suffixes, space-prefixed letter runs, digit runs, symbol
 # runs. Whitespace between tokens is absorbed by the leading " ?"; pure
-# whitespace runs yield no tokens. ASCII classes on purpose: Java and
-# RE2 agree on them exactly (unicode \p{L} semantics differ by engine).
-BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# whitespace runs yield no tokens. ASCII classes on purpose: unicode
+# \p{L} semantics differ by engine — and even ASCII \s differs (Java
+# includes \x0B vertical tab, RE2 does not), so the whitespace class is
+# spelled out explicitly to pin Java, RE2 and Python to the same set.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\rA-Za-z0-9]+"
 
 
 def bpe_token_counts(

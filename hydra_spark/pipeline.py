@@ -190,11 +190,14 @@ def start_flagship(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sink(finish_batch(batch_df), batch_id)
 
-    # fail loudly if this checkpoint was written under an older custom-
-    # state layout (ms vs us in same-typed state — see operators/state.py)
+    # stamp the state-format marker. holds_custom_state=False: the
+    # flagship's only stateful operator is the built-in stream-stream
+    # join (Spark's layout, not ours), so unmarked pre-existing
+    # checkpoints remain resumable; queries using the
+    # applyInPandasWithState ops pass True (see operators/state.py)
     from hydra_spark.operators.state import pin_state_format
 
-    pin_state_format(os.path.join(out_root, "_checkpoint"))
+    pin_state_format(os.path.join(out_root, "_checkpoint"), holds_custom_state=False)
     q = (
         joined.writeStream.foreachBatch(process)
         .option("checkpointLocation", os.path.join(out_root, "_checkpoint"))

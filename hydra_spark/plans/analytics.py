@@ -282,9 +282,16 @@ def defaults_fill_nested(spark, sf_dir):
         filled.getField("rec").getField("a").alias("rec_a"),
         filled.getField("rec").getField("b").alias("rec_b"),
         filled.getField("cfg").getField("v").alias("cfg_v"),
-        F.size(filled.getField("arr")).cast("long").alias("arr_n"),
-        F.aggregate(
-            filled.getField("arr"), F.lit(0).cast("long"), lambda acc, x: acc + x.getField("a")
+        # explicit "arr": null stays NULL (not size()'s legacy -1) — the
+        # oracle mirrors with a json_type != 'NULL' guard, same as rec/m
+        F.when(
+            filled.getField("arr").isNotNull(), F.size(filled.getField("arr")).cast("long")
+        ).alias("arr_n"),
+        F.when(
+            filled.getField("arr").isNotNull(),
+            F.aggregate(
+                filled.getField("arr"), F.lit(0).cast("long"), lambda acc, x: acc + x.getField("a")
+            ),
         ).alias("arr_sum_a"),
         F.aggregate(
             F.map_values(filled.getField("m")), F.lit(0).cast("long"),

@@ -63,7 +63,10 @@ def interpret_frames(
     f = F.col(frame_col)
     is_cmd = f.rlike("(?i)^-c ") | f.rlike("(?i)^-c$")
     is_help = f.rlike("(?i)^-c help")
-    set_m = "(?i)^-c set[ \\t]*(.*?)=(.*)$"
+    # whitespace after "set" is REQUIRED: "-c setFOO=bar" is a typo'd
+    # command (the reference actor's frame regex has the delimiter too)
+    # and must answer 400 bad_cmd, not be parsed as a set
+    set_m = "(?i)^-c set[ \\t]+(.*?)=(.*)$"
     set_key = F.upper(F.trim(F.regexp_extract(f, set_m, 1)))
     set_val = F.trim(F.regexp_extract(f, set_m, 2))
     is_set_kv = f.rlike(set_m)

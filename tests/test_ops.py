@@ -88,6 +88,13 @@ def test_bpe_token_counts_matches_python_regex(spark, docs):
     got = {r.source: r.total_bpe_tokens for r in bpe_token_counts(docs).collect()}
     assert got == dict(exp)
 
+    # engine-divergence traps: \x0B is whitespace to Java's \s but not
+    # RE2's — the explicit class pins all three engines to one answer
+    tricky = ["a\x0bb", "it's 42 test-case!", "tab\tsep", "price:$3.50"]
+    tdf = spark.createDataFrame([("t", s) for s in tricky], "source string, text string")
+    n = bpe_token_counts(tdf).collect()[0].total_bpe_tokens
+    assert n == sum(len(pat.findall(s)) for s in tricky)
+
 
 def test_resize_media_byte_plumbing(spark, docs):
     """payload_out really is the strided byte subsample the projection

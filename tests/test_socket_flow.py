@@ -28,11 +28,15 @@ def test_command_frames(spark):
                 (0, 3, "-c set MY-KEY=v1"),
                 (0, 4, "-c frobnicate"),
                 (0, 5, "-c set"),
+                # typo'd set (no whitespace after "set") is a bad
+                # command, NOT a set — and NOT an ack validation hit
+                (0, 6, "-c sethydra-ack=bogus"),
             ],
         ),
         "k BIGINT",
     ).orderBy("frame_idx").collect()
-    assert [r.status_code for r in out] == [200, 200, 400, 200, 400, 200]
+    assert [r.status_code for r in out] == [200, 200, 400, 200, 400, 200, 400]
+    assert out[6].kind == "bad_cmd"
     assert out[1].message == "OK[hydra-ack=replicated]"
     assert "not a valid ack strategy" in out[2].message
     assert out[3].message == "OK[MY-KEY=v1]"

@@ -269,3 +269,14 @@ def test_state_format_marker(tmp_path):
         json.dump({"state_format_version": STATE_FORMAT_VERSION - 1}, f)
     with pytest.raises(StateFormatError):
         pin_state_format(cp)      # old-format checkpoint -> loud failure
+
+    # unmarked checkpoint that already holds streaming state: assumed v1
+    # for custom-state queries (loud failure) — but accepted when the
+    # query holds NO custom state (flagship: built-in join state only,
+    # refusing it would discard stream progress for nothing)
+    old = str(tmp_path / "old_cp")
+    (tmp_path / "old_cp" / "offsets").mkdir(parents=True)
+    with pytest.raises(StateFormatError):
+        pin_state_format(old)
+    pin_state_format(old, holds_custom_state=False)   # stamps + accepts
+    pin_state_format(old)                              # now marked: fine

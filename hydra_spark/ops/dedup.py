@@ -79,6 +79,69 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "v1",
+    b_col: str = "v2",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (node, cluster_id),
+    cluster_id = min node id in the component — the canonical-document
+    selection step that turns pairwise dup detection into keep/drop
+    decisions. Works on any pair source (minhash, simhash, cosine).
+
+    Min-label propagation: each iteration every node takes the min of
+    its own label and its neighbors' labels — one join + partial-agg
+    min per iteration, converging in O(component diameter) rounds
+    (near-dup clusters are shallow; pathological chains are bounded by
+    max_iters). Only nodes that appear in a dup pair participate, so
+    the working set is the dup fraction of the corpus, not the corpus.
+    Each iteration is localCheckpoint()ed to truncate the iterative
+    lineage (else the plan doubles per round); at cluster scale swap in
+    checkpoint() on a reliable dir. The alternating large-star/small-star
+    formulation is the constant-rounds refinement if diameters ever
+    grow past a handful."""
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new = (
+                labels.join(nbr, labels["node"] == nbr["src"], "left")
+                .select(
+                    labels["node"],
+                    F.least(
+                        labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new.withColumnRenamed("label", "_new")
+                .join(labels, "node")
+                .where(F.col("_new") != F.col("label"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        return labels.select("node", F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
 # ---------------------------------------------------------------- exact jaccard
 
 def ngram_jaccard_pairs(

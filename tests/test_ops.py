@@ -112,6 +112,35 @@ def test_resize_media_byte_plumbing(spark, docs):
         assert r.n_bytes_out == len(b[::k]) and r.n_bytes == len(b)
 
 
+def test_dup_clusters_chain_and_unionfind_parity(spark, emb):
+    from hydra_spark.ops.dedup import dup_clusters
+    from hydra_spark.ops.similarity import cosine_pairs
+
+    # a 10-node chain has diameter 9 — exercises multi-round propagation
+    chain = spark.createDataFrame([(i, i + 1) for i in range(9)], "v1 long, v2 long")
+    out = {r.node: r.cluster_id for r in dup_clusters(chain).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+    # union-find parity on the real near-dup pair set
+    pairs = cosine_pairs(emb, 0.4)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.v1), find(r.v2)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    got = {r.node: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == expected
+
+
 def test_dedup_exact_groups(spark, docs):
     from hydra_spark.ops.dedup import dedup_exact
 

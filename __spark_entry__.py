@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": docs(X.quality_score),
         "token_counts": docs(X.token_counts),
         "bpe_token_counts": docs(X.bpe_token_counts),
+        "winnow_fingerprints": docs(X.winnow_fingerprints),
         "doc_fingerprint": docs(X.fingerprint),
         "binary_metadata": docs(X.binary_metadata),
         # multimodal plumbing (stubbed codec, real Spark plumbing)
@@ -856,6 +857,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "winnow_fingerprints": """
+            -- same winnowing as ops/textstats.py (k=8, window=4):
+            -- min md5(k-gram) per sliding window, distinct per doc
+            SELECT doc_id, unnest(list_sort(list_distinct(
+              list_transform(generate_series(1, greatest(length(text) - 8 + 1 - 4 + 1, 1)),
+                j -> list_min(list_transform(generate_series(j, j + 4 - 1),
+                  i -> md5(substr(text, i, 8)))))))) AS fp
+            FROM documents
         """,
         "minhash_lsh_dup": """
             WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,

@@ -121,6 +121,37 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Local document fingerprints by winnowing (the MOSS scheme):
+    hash every character k-gram, keep the min hash of each sliding
+    window of `window` consecutive k-gram positions, distinct per doc.
+    Guarantee: any substring match of length >= k + window - 1 between
+    two documents shares at least one fingerprint — so a fingerprint
+    equi-join finds local overlaps (quotes, boilerplate, plagiarism)
+    that whole-doc digests and bag-of-shingles measures miss.
+
+    All JVM-side codegen (sequence/transform/array_min over substr+md5;
+    md5 because Spark and the DuckDB oracle compute identical hex for
+    it). Cost is O(len) hashes per doc — the standard winnowing price,
+    embarrassingly parallel, no shuffle until the downstream join.
+    Output: (doc_id, fp) exploded rows, join-ready."""
+    expr = (
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {k} + 1 - {window} + 1, 1)),"
+        f"j -> array_min(transform(sequence(j, j + {window} - 1),"
+        f"i -> md5(substr({text_col}, i, {k})))))))"
+    )
+    return _spread(df, id_col).select(
+        F.col(id_col), F.explode(F.expr(expr)).alias("fp")
+    )
+
+
 def binary_metadata(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Opaque-binary plumbing demo: byte length + prefix digest of the
     payload treated as binary (the multimodal column pattern)."""

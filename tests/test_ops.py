@@ -141,6 +141,27 @@ def test_dup_clusters_chain_and_unionfind_parity(spark, emb):
     assert got == expected
 
 
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing theorem: documents sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; unrelated strings
+    (different alphabets) share none."""
+    from hydra_spark.ops.textstats import winnow_fingerprints
+
+    shared = "a common quoted passage long enough"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix one"),
+            (2, "totally different lead " + shared + " other tail"),
+            (3, "0123456789012345678901234567890123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=8, window=4).collect()
+    by_doc = {d: {r.fp for r in fps if r.doc_id == d} for d in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
 def test_dedup_exact_groups(spark, docs):
     from hydra_spark.ops.dedup import dedup_exact
 

@@ -126,6 +126,7 @@ HEADLINE = [
     "quality_score",
     "token_counts",
     "doc_fingerprint",
+    "winnow_fingerprints",
     "clips_window_rollup",
 ]
 

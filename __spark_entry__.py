@@ -204,6 +204,23 @@ def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_index_topk(spark, path, emb, list(range(25)), k=3)
 
 
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from the materialized inverted file (PARTITIONED
+    BY list_id, static pruning — same amortized at-scale shape as
+    ann_lsh_indexed). Identical results to ann_ivf_topk at the same
+    params — pytest parity + partition-pruning plan guard
+    (tests/test_ops.py::test_ivf_materialized_index_parity_and_pruning)."""
+    from hydra_spark.ops import similarity as SIM
+
+    emb = A.load(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
+    path = os.path.join("/root/repo/.data/ivf_index", key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        SIM.ivf_index_write(emb, path)
+    return SIM.ivf_index_topk(spark, path, emb, list(range(25)), k=3, n_probe=6)
+
+
 def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the materialized LSH bucket index for sf_dir's
     embeddings table; returns its path. Separate from the query so
@@ -310,6 +327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # amortized at-scale shape; build reported separately in bench)
         "ann_lsh_indexed": ann_lsh_indexed,
         "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
+        # same results served from the materialized inverted file
+        # (pytest parity + pruning guard; amortized at-scale shape)
+        "ann_ivf_indexed": ann_ivf_indexed,
         # probing every list turns IVF into exact search — verifies the
         # assign/explode/bucket-join/re-rank machinery against the
         # brute-force oracle (the pruned form above stays recall-tested)

@@ -282,6 +282,112 @@ def ivf_topk(
     )
 
 
+def ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroids: np.ndarray | None = None,
+) -> str:
+    """Materialize the inverted file PARTITIONED BY list_id — the
+    at-scale layout ivf_topk's list equi-join models (same recipe as
+    lsh_index_write: one write amortized over every query batch, a
+    params sidecar so a mismatched query fails fast)."""
+    if centroids is None:
+        centroids = _ivf_centroids(dim, n_lists, seed)
+    assign = _assign_udf(centroids, 1)
+    rows = _spread(emb, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm_col(vec_col).alias("_cn"),
+        F.explode(assign(F.col(vec_col))).alias("list_id"),
+    )
+    rows.repartition("list_id").write.mode("overwrite").partitionBy("list_id").parquet(path)
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_params.json"), "w") as f:
+        json.dump({"n_lists": n_lists, "seed": seed, "dim": dim}, f)
+    return path
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k against a pre-materialized inverted file: the query
+    batch's probe lists (computed driver-side from the same codebook)
+    become a STATIC list_id IN-list, so the scan prunes to n_probe
+    partitions per query. Output identical to ivf_topk at the same
+    params (pytest parity)."""
+    import json
+    import os
+
+    params_file = os.path.join(path, "_ivf_params.json")
+    if os.path.exists(params_file):
+        with open(params_file) as f:
+            built = json.load(f)
+        asked = {"n_lists": n_lists, "seed": seed}
+        if any(built.get(kk) != v for kk, v in asked.items()):
+            raise ValueError(
+                f"IVF index at {path} was built with "
+                f"{ {kk: built.get(kk) for kk in asked} }, queried with {asked}; "
+                f"rebuild the index or match its params"
+            )
+    centroids = _ivf_centroids(dim, n_lists, seed)
+    qrows = (
+        emb.where(F.col(id_col).isin(query_ids) & F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    sims = qv @ centroids.T
+    top = np.argsort(-sims, axis=1)[:, :n_probe]
+    probe_rows = [
+        (
+            int(r[0]),
+            int(lid),
+            [float(x) for x in r[1]],
+            float(np.linalg.norm(np.asarray(r[1], dtype=np.float64))),
+        )
+        for r, lids in zip(qrows, top)
+        for lid in lids
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows, "query_id long, list_id int, _qv array<float>, _qn double"
+    )
+    lists = sorted({lid for _, lid, _, _ in probe_rows})
+    idx = spark.read.parquet(path)
+    pruned = idx.where(F.col("list_id").isin([int(x) for x in lists]))
+    cand = pruned.join(F.broadcast(probe_df), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine")).distinct()
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ------------------------------------------------- LSH materialized index
 
 def _band_probes(

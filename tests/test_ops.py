@@ -194,6 +194,30 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
         extract_features(media, fake=False).collect()
 
 
+def test_ivf_materialized_index_parity_and_pruning(spark, emb, tmp_path):
+    """The pre-materialized inverted file must return exactly ivf_topk's
+    results, prune the scan to the probe lists, and reject queries whose
+    params mismatch the ones it was built with."""
+    import pytest
+
+    from hydra_spark.ops.similarity import ivf_index_topk, ivf_index_write, ivf_topk
+
+    path = str(tmp_path / "ivf_idx")
+    ivf_index_write(emb, path, n_lists=16)
+    qids = list(range(25))
+    got = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+           for r in ivf_index_topk(spark, path, emb, qids, k=3, n_probe=6).collect()}
+    want = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in ivf_topk(emb, qids, k=3, n_lists=16, n_probe=6).collect()}
+    assert got == want
+    plan = ivf_index_topk(spark, path, emb, qids, k=3, n_probe=6)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "list_id" in plan[plan.index("PartitionFilters: ["):][:300]
+    with pytest.raises(ValueError):  # params sidecar mismatch fails fast
+        ivf_index_topk(spark, path, emb, qids, n_lists=8, seed=7)
+
+
 def test_ann_ivf_recall_vs_brute_force(spark, emb):
     from hydra_spark.ops.similarity import cosine_topk, ivf_topk
 

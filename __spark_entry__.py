@@ -204,6 +204,19 @@ def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_index_topk(spark, path, emb, list(range(25)), k=3)
 
 
+def _ensure_index(sf_dir: str, subdir: str, build) -> str:
+    """Build-once cache for a materialized ANN index over sf_dir's
+    embeddings table, keyed by the embeddings file's mtime (a fixture
+    refresh rebuilds; stale indexes are never served). Shared by the
+    LSH and IVF indexed paths."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
+    path = os.path.join("/root/repo/.data", subdir, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build(path)
+    return path
+
+
 def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k served from the materialized inverted file (PARTITIONED
     BY list_id, static pruning — same amortized at-scale shape as
@@ -213,11 +226,7 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hydra_spark.ops import similarity as SIM
 
     emb = A.load(spark, sf_dir, "embeddings")
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
-    path = os.path.join("/root/repo/.data/ivf_index", key)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        SIM.ivf_index_write(emb, path)
+    path = _ensure_index(sf_dir, "ivf_index", lambda p: SIM.ivf_index_write(emb, p))
     return SIM.ivf_index_topk(spark, path, emb, list(range(25)), k=3, n_probe=6)
 
 
@@ -227,12 +236,10 @@ def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     bench.py can time build and query as distinct numbers."""
     from hydra_spark.ops import similarity as SIM
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
-    path = os.path.join("/root/repo/.data/lsh_index", key)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        SIM.lsh_index_write(A.load(spark, sf_dir, "embeddings"), path)
-    return path
+    return _ensure_index(
+        sf_dir, "lsh_index",
+        lambda p: SIM.lsh_index_write(A.load(spark, sf_dir, "embeddings"), p),
+    )
 
 
 # --------------------------------------------------------------- registry

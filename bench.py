@@ -81,8 +81,11 @@ PAIRS = [
 # back-compat: the pre-PAIRS single-pair knobs still work (a lone
 # LO/HI pair, state partitions = HI per the sp-equals-hi-cores rule);
 # silently ignoring them would let an operator believe they measured a
-# configuration they did not
-if "HYDRA_BENCH_CORES_LO" in os.environ or "HYDRA_BENCH_CORES_HI" in os.environ:
+# configuration they did not. An EXPLICIT HYDRA_BENCH_PAIRS wins — a
+# stale legacy var lingering in the shell must not override it.
+if "HYDRA_BENCH_PAIRS" not in os.environ and (
+    "HYDRA_BENCH_CORES_LO" in os.environ or "HYDRA_BENCH_CORES_HI" in os.environ
+):
     _lo = int(os.environ.get("HYDRA_BENCH_CORES_LO", "2"))
     _hi = int(os.environ.get("HYDRA_BENCH_CORES_HI", str(4 * _lo)))
     PAIRS = [(_lo, _hi, _hi)]
@@ -410,14 +413,24 @@ def _burn(_):
 # bytes MOVED per _bw_burn call (read + write per copy pass)
 _BW_BYTES_PER_CALL = 4 * 2 * 128 * 1024 * 1024
 
+# per-worker-process buffer cache: allocated + faulted ONCE per pool
+# worker (the preceding warm map does the faulting), so the timed map
+# measures only copy bandwidth — a fresh alloc per call would mix
+# first-touch page faults and kernel zero-page reads into the stamp
+_BW_BUFS: dict = {}
+
 
 def _bw_burn(_):
     """Pure DRAM streaming: 4 copy passes over a 128 MB buffer (way past
     any cache). Zero arithmetic — isolates the bandwidth axis."""
     import numpy as np
 
-    src = np.zeros(128 * 1024 * 1024 // 8, dtype=np.float64)
-    dst = np.empty_like(src)
+    bufs = _BW_BUFS.get("bufs")
+    if bufs is None:
+        src = np.full(128 * 1024 * 1024 // 8, 1.0)  # real pages, not zero-page
+        dst = np.full_like(src, 1.0)
+        bufs = _BW_BUFS["bufs"] = [src, dst]
+    src, dst = bufs
     for _ in range(4):
         np.copyto(dst, src)
         src, dst = dst, src
@@ -539,11 +552,11 @@ efficiency normalized by that ceiling:
 ### Timed trials (pair {idx + 1})
 
 "ctrl" = contemporaneous CPU control burst (work units/s at {rh['cores']} procs,
-measured immediately before that round); "bw" = contemporaneous
+measured immediately before that pass); "bw" = contemporaneous
 memory-bandwidth stamp (aggregate copy GB/s at the same width) — the
-host's state while the round ran, on both contention axes; rounds whose
-stamps sit well below the best round's ran during a host-contention
-episode. If after {ROUNDS} rounds the pair's best efficiency is below
+host's state when each pass started, on both contention axes (stamped
+PER TRIAL: a burst can begin mid-round); trials whose stamps sit well
+below the best trial's ran during a host-contention episode. If after {ROUNDS} rounds the pair's best efficiency is below
 {EFF_TARGET} AND a degraded round is present (either axis), up to
 {EXTRA_ROUNDS} bounded extra rounds run (all reported below).
 

@@ -63,6 +63,12 @@ def pin_state_format(
     os.makedirs(checkpoint_dir, exist_ok=True)
     marker = os.path.join(checkpoint_dir, "_hydra_state_format.json")
     if os.path.exists(marker):
+        if not holds_custom_state:
+            # no custom state in this checkpoint -> no layout to
+            # misread; a version-bump for the applyInPandasWithState
+            # ops must not refuse resumes of queries that never held
+            # such state (the marker stays as written)
+            return
         with open(marker) as f:
             found = json.load(f).get("state_format_version")
         if found != version:

@@ -137,6 +137,14 @@ def dup_clusters(
             labels = new
             if changed == 0:
                 break
+        else:
+            # silently returning a split component would make canonical
+            # selection keep multiple "canonical" copies of one cluster
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iters} iterations "
+                f"(component diameter exceeds max_iters); raise max_iters "
+                f"or switch to the large-star/small-star formulation"
+            )
         return labels.select("node", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()

@@ -272,6 +272,39 @@ def ivf_topk(
         F.explode(query_assign(F.col(vec_col))).alias("list_id"),
     )
     cand = c.join(F.broadcast(q), "list_id").where(F.col("neighbor_id") != F.col("query_id"))
+    return _exact_rerank(cand, k)
+
+
+def _write_index_params(path: str, filename: str, params: dict) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, filename), "w") as f:
+        json.dump(params, f)
+
+
+def _check_index_params(path: str, filename: str, asked: dict) -> None:
+    """Fail fast when a query's params don't match the ones the
+    materialized index was built with — mismatched planes/codebooks
+    probe the wrong partitions and silently return near-empty results."""
+    import json
+    import os
+
+    pf = os.path.join(path, filename)
+    if not os.path.exists(pf):
+        return
+    with open(pf) as f:
+        built = json.load(f)
+    if any(built.get(k) != v for k, v in asked.items()):
+        raise ValueError(
+            f"index at {path} was built with { {k: built.get(k) for k in asked} }, "
+            f"queried with {asked}; rebuild the index or match its params"
+        )
+
+
+def _exact_rerank(cand: DataFrame, k: int) -> DataFrame:
+    """Shared IVF tail: exact cosine over candidate rows carrying
+    (_qv, _qn, _cv, _cn), dedup across probe lists, row_number top-k."""
     cos = F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6)
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine")).distinct()
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -306,11 +339,7 @@ def ivf_index_write(
         F.explode(assign(F.col(vec_col))).alias("list_id"),
     )
     rows.repartition("list_id").write.mode("overwrite").partitionBy("list_id").parquet(path)
-    import json
-    import os
-
-    with open(os.path.join(path, "_ivf_params.json"), "w") as f:
-        json.dump({"n_lists": n_lists, "seed": seed, "dim": dim}, f)
+    _write_index_params(path, "_ivf_params.json", {"n_lists": n_lists, "seed": seed, "dim": dim})
     return path
 
 
@@ -332,20 +361,9 @@ def ivf_index_topk(
     become a STATIC list_id IN-list, so the scan prunes to n_probe
     partitions per query. Output identical to ivf_topk at the same
     params (pytest parity)."""
-    import json
-    import os
-
-    params_file = os.path.join(path, "_ivf_params.json")
-    if os.path.exists(params_file):
-        with open(params_file) as f:
-            built = json.load(f)
-        asked = {"n_lists": n_lists, "seed": seed}
-        if any(built.get(kk) != v for kk, v in asked.items()):
-            raise ValueError(
-                f"IVF index at {path} was built with "
-                f"{ {kk: built.get(kk) for kk in asked} }, queried with {asked}; "
-                f"rebuild the index or match its params"
-            )
+    _check_index_params(
+        path, "_ivf_params.json", {"n_lists": n_lists, "seed": seed, "dim": dim}
+    )
     centroids = _ivf_centroids(dim, n_lists, seed)
     qrows = (
         emb.where(F.col(id_col).isin(query_ids) & F.col(vec_col).isNotNull())
@@ -378,14 +396,7 @@ def ivf_index_topk(
     cand = pruned.join(F.broadcast(probe_df), "list_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 6)
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine")).distinct()
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _exact_rerank(cand, k)
 
 
 # ------------------------------------------------- LSH materialized index
@@ -438,15 +449,10 @@ def lsh_index_write(
     # with it each dir gets exactly its writers (256 files total here).
     # Same recipe at scale, with AQE coalescing small shuffle partitions.
     rows.repartition("band", "bv").write.mode("overwrite").partitionBy("band", "bv").parquet(path)
-    # params sidecar: a query probing with different planes (n_bits/
-    # bands/seed) would prune to buckets that rarely intersect the true
-    # ones and silently return near-empty results — lsh_index_topk
-    # fails fast on a mismatch instead
-    import json
-    import os
-
-    with open(os.path.join(path, "_lsh_params.json"), "w") as f:
-        json.dump({"n_bits": n_bits, "bands": bands, "seed": seed, "dim": dim}, f)
+    _write_index_params(
+        path, "_lsh_params.json",
+        {"n_bits": n_bits, "bands": bands, "seed": seed, "dim": dim},
+    )
     return path
 
 
@@ -522,23 +528,6 @@ def lsh_index_topk(
     Catalyst prunes the index scan to the probe partitions
     (PartitionFilters in the plan — asserted by tests/test_ops.py).
     Output and semantics identical to lsh_topk at the same params."""
-    # fail fast if the probe params don't match the ones the index was
-    # built with (different planes -> probes miss the true buckets and
-    # the query silently degrades to near-empty results)
-    import json
-    import os
-
-    params_file = os.path.join(path, "_lsh_params.json")
-    if os.path.exists(params_file):
-        with open(params_file) as f:
-            built = json.load(f)
-        asked = {"n_bits": n_bits, "bands": bands, "seed": seed}
-        if any(built.get(k) != v for k, v in asked.items()):
-            raise ValueError(
-                f"LSH index at {path} was built with "
-                f"{ {k: built.get(k) for k in asked} }, queried with {asked}; "
-                f"rebuild the index or match its params"
-            )
     qrows = (
         # NULL-embedding queries contribute no probes (matches the
         # ivf/lsh paths, whose signature UDFs mask NULL vectors)
@@ -552,6 +541,13 @@ def lsh_index_topk(
         )
     qids = [int(r[0]) for r in qrows]
     qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    # fail fast if the probe params (incl. the ACTUAL query vector dim)
+    # don't match the ones the index was built with — different planes
+    # probe the wrong buckets and silently return near-empty results
+    _check_index_params(
+        path, "_lsh_params.json",
+        {"n_bits": n_bits, "bands": bands, "seed": seed, "dim": int(qv.shape[1])},
+    )
     per_q = _band_probes(qids, qv, n_bits, bands, seed)
     # STATIC pruning predicate over the distinct probe buckets: literal
     # IN-list on the partition columns -> directory-level pruning

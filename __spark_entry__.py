@@ -126,6 +126,26 @@ def clips_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("clip_id", "n_samples", "n_zero_cross", "n_silent")
 
 
+def clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-normalization to 16 kHz through the ragged-vectorized
+    linear-interp resample stage (functions/resample.py) — the
+    training-pipeline op that makes mixed-rate audio uniform before
+    featurization. SQL-checkable projection: n_samples_out =
+    ceil(n_in * dst/sr) is integer arithmetic over octet_length, so
+    DuckDB verifies the decode-length dispatch and resample accounting
+    exactly; the resampled BYTES are verified byte-for-byte against the
+    shared per-row oracle in tests/test_resample.py."""
+    from hydra_spark.functions.resample import resample_clips
+
+    out = resample_clips(_clips(spark), dst_sr=16000)
+    return out.select(
+        "clip_id", "codec", "sr_hz",
+        F.lit(16000).cast("int").alias("dst_sr"),
+        "n_samples_in", "n_samples_out",
+        (F.col("n_samples_out") * F.lit(2)).cast("int").alias("n_bytes_out"),
+    )
+
+
 def transcript_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N9 normalization through the engine's vectorized UDF, over the
     driver documents table so DuckDB can mirror it (NFC + lower +
@@ -364,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_window_rollup": clips_window_rollup,
         "clips_audio_stats": clips_audio_stats,
         "clips_transcript_normalize": clips_transcript_normalize,
+        # rate-normalization (linear-interp resample to 16 kHz); sample
+        # accounting oracle-checked, bytes parity-checked in pytest
+        "clips_resample": clips_resample,
     }
 
 
@@ -976,6 +999,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, n_samples, n_zero_cross, n_silent
             FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v2/*.parquet')
             WHERE n_samples IS NOT NULL
+        """,
+        "clips_resample": """
+            WITH s AS (
+              SELECT clip_id, codec, sr_hz,
+                     CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                          ELSE octet_length(bytes) END AS n_in
+              FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+              WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL)
+            SELECT clip_id, codec, sr_hz,
+                   CAST(16000 AS INTEGER) AS dst_sr,
+                   CAST(n_in AS INTEGER) AS n_samples_in,
+                   CAST((n_in*16000 + sr_hz - 1)//sr_hz AS INTEGER) AS n_samples_out,
+                   CAST(2*((n_in*16000 + sr_hz - 1)//sr_hz) AS INTEGER) AS n_bytes_out
+            FROM s
         """,
         "clips_transcript_normalize": """
             SELECT clip_id,

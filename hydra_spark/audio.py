@@ -113,6 +113,39 @@ def decode(buf: bytes, codec: str) -> np.ndarray:
     raise ValueError(f"unsupported codec: {codec}")
 
 
+# ---------------------------------------------------------------- resample
+
+def resample_linear(x: np.ndarray, sr_hz: int, dst_sr: int) -> np.ndarray:
+    """float32 PCM at sr_hz -> float64 PCM at dst_sr, linear interpolation.
+
+    This is the single shared definition of the engine's resample stage
+    (functions/resample.py vectorizes exactly this math over ragged Arrow
+    batches; parity is asserted byte-for-byte in tests):
+
+      n_out = ceil(n_in * dst_sr / sr_hz)           (duration-preserving)
+      out[j] = lerp(x, clamp(j * sr_hz/dst_sr, 0, n_in-1))
+
+    Interpolation is computed in float64 as x[i0]*(1-f) + x[i1]*f — the
+    exact expression the vectorized path evaluates, so engine/oracle
+    equality is structural (same elementwise IEEE ops), not approximate.
+    """
+    n_in = len(x)
+    n_out = (n_in * dst_sr + sr_hz - 1) // sr_hz
+    if n_out == 0:
+        return np.empty(0, dtype=np.float64)
+    ratio = sr_hz / dst_sr
+    pos = np.minimum(np.arange(n_out, dtype=np.float64) * ratio, float(n_in - 1))
+    i0 = pos.astype(np.int64)
+    f = pos - i0
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    return x[i0] * (1.0 - f) + x[i1] * f
+
+
+def resample_clip(buf: bytes, codec: str, sr_hz: int, dst_sr: int) -> bytes:
+    """Per-row oracle: decode -> resample_linear -> pcm16 bytes."""
+    return encode_pcm16(resample_linear(decode(buf, codec), sr_hz, dst_sr))
+
+
 # ---------------------------------------------------------------- stats
 
 def zero_crossings(x: np.ndarray) -> int:

@@ -62,9 +62,10 @@ _LUT = {
 }
 
 
-def _ragged_gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concatenate data[starts[i]:starts[i]+lens[i]] — one vectorized
-    fancy-index pass, no per-row Python.
+def _ragged_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat index array covering [starts[i], starts[i]+lens[i]) per segment
+    — the shared core of ragged gather (decode) and ragged scatter
+    (resample's per-row output placement).
 
     The index array is the dominant memory traffic of the decode stage
     (it dwarfs the 1-2 byte samples it gathers), so it is built in
@@ -76,7 +77,7 @@ def _ragged_gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
         starts, lens = starts[nz], lens[nz]  # break the head-offset trick
     total = int(lens.sum())
     if total == 0:
-        return np.empty(0, dtype=data.dtype)
+        return np.empty(0, dtype=np.int32)
     # idx = ones; at each segment head write (start_i - prev_end_{i-1} + 1);
     # cumsum then yields consecutive positions within each segment.
     idx = np.ones(total, dtype=np.int32)
@@ -87,6 +88,15 @@ def _ragged_gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
     idx[0] = starts[0]
     idx[heads[1:]] = (starts[1:] - prev_end[:-1] + 1).astype(np.int32)
     np.cumsum(idx, out=idx, dtype=np.int32)
+    return idx
+
+
+def _ragged_gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate data[starts[i]:starts[i]+lens[i]] — one vectorized
+    fancy-index pass, no per-row Python."""
+    idx = _ragged_index(starts, lens)
+    if len(idx) == 0:
+        return np.empty(0, dtype=data.dtype)
     return data[idx]
 
 

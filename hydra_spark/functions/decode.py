@@ -62,6 +62,43 @@ _LUT = {
 }
 
 
+def _binary_views(barr, n: int):
+    """Zero-copy numpy views over an Arrow binary array: (off, data, lens,
+    is_null). ``off`` is int64[n+1] (widened so downstream arithmetic can't
+    wrap), ``data`` the flat uint8 payload buffer, ``lens`` int64[n],
+    ``is_null`` bool[n]. Shared by the decode / resample / spectral stages
+    so the buffer-view contract lives in exactly one place."""
+    import pyarrow as pa
+
+    bufs = barr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[barr.offset : barr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lens = np.diff(off)
+    is_null = np.zeros(n, dtype=bool)
+    if barr.null_count:
+        is_null = np.asarray(pa.compute.is_null(barr).to_pylist())
+    return off, data, lens, is_null
+
+
+def _classify_errors(codec: np.ndarray, lens: np.ndarray, is_null: np.ndarray) -> np.ndarray:
+    """Shared skip-and-count error classification (null bytes / unknown
+    codec / odd pcm16 length) -> object array of error strings (None = ok).
+    Iterates the distinct bad codecs via a set, not ``np.unique`` — a batch
+    mixing a NULL codec with an unknown string codec must produce error
+    rows, not a sort-comparison TypeError that kills the task."""
+    n = len(codec)
+    err = np.full(n, None, dtype=object)
+    err[is_null] = "ValueError: null bytes"
+    known = np.isin(codec, list(audio.SUPPORTED_CODECS))
+    bad = ~known & ~is_null
+    if bad.any():
+        for c in set(codec[bad].tolist()):
+            err[bad & (codec == c)] = f"ValueError: unsupported codec: {c}"
+    pcm_odd = (codec == "pcm16") & ~is_null & (lens % 2 == 1)
+    err[pcm_odd] = "ValueError: pcm16 buffer length not a multiple of 2"
+    return err
+
+
 def _ragged_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Flat index array covering [starts[i], starts[i]+lens[i]) per segment
     — the shared core of ragged gather (decode) and ragged scatter
@@ -171,29 +208,16 @@ def decode_features(df: DataFrame, extended: bool = False) -> DataFrame:
             codec = np.asarray(rb.column(names.index("codec")).to_pylist(), dtype=object)
 
             # binary column -> (offsets, data) numpy views, zero-copy
-            bufs = barr.buffers()
-            off = np.frombuffer(bufs[1], dtype=np.int32)[barr.offset : barr.offset + n + 1].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
-            lens = np.diff(off)
-            is_null = np.zeros(n, dtype=bool)
-            if barr.null_count:
-                is_null = np.asarray(pa.compute.is_null(barr).to_pylist())
+            off, data, lens, is_null = _binary_views(barr, n)
 
             ns = np.zeros(n, dtype=np.int32)
             rms = np.full(n, np.nan)
             peak = np.full(n, np.nan)
-            err = np.full(n, None, dtype=object)
             if extended:
                 zc = np.zeros(n, dtype=np.int32)
                 sil = np.zeros(n, dtype=np.int32)
 
-            err[is_null] = "ValueError: null bytes"
-            known = np.isin(codec, list(audio.SUPPORTED_CODECS))
-            for c in np.unique(codec[~known & ~is_null]):
-                err[(codec == c) & ~is_null] = f"ValueError: unsupported codec: {c}"
-
-            pcm_odd = (codec == "pcm16") & ~is_null & (lens % 2 == 1)
-            err[pcm_odd] = "ValueError: pcm16 buffer length not a multiple of 2"
+            err = _classify_errors(codec, lens, is_null)
 
             # Inner chunking: the gather/decode/square temporaries are
             # 6-14 bytes per 1-2 byte sample; processed whole-batch they

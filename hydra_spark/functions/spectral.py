@@ -26,7 +26,13 @@ import numpy as np
 from pyspark.sql import DataFrame, types as T
 
 from hydra_spark import audio
-from hydra_spark.functions.decode import _LUT, _ragged_gather, _ragged_index
+from hydra_spark.functions.decode import (
+    _LUT,
+    _binary_views,
+    _classify_errors,
+    _ragged_gather,
+    _ragged_index,
+)
 
 OUT_FIELDS = [
     T.StructField("n_samples", T.IntegerType(), True),
@@ -76,21 +82,8 @@ def spectral_clips(df: DataFrame, n_fft: int = audio.N_FFT) -> DataFrame:
                 rb.column(names.index("sr_hz")).to_pandas().fillna(0).to_numpy(), dtype=np.float64
             )
 
-            bufs = barr.buffers()
-            off = np.frombuffer(bufs[1], dtype=np.int32)[barr.offset : barr.offset + n + 1].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
-            lens = np.diff(off)
-            is_null = np.zeros(n, dtype=bool)
-            if barr.null_count:
-                is_null = np.asarray(pa.compute.is_null(barr).to_pylist())
-
-            err = np.full(n, None, dtype=object)
-            err[is_null] = "ValueError: null bytes"
-            known = np.isin(codec, list(audio.SUPPORTED_CODECS))
-            for c in np.unique(codec[~known & ~is_null]):
-                err[(codec == c) & ~is_null] = f"ValueError: unsupported codec: {c}"
-            pcm_odd = (codec == "pcm16") & ~is_null & (lens % 2 == 1)
-            err[pcm_odd] = "ValueError: pcm16 buffer length not a multiple of 2"
+            off, data, lens, is_null = _binary_views(barr, n)
+            err = _classify_errors(codec, lens, is_null)
             err_mask = err != None  # noqa: E711
             ok = ~err_mask
 

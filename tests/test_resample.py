@@ -81,6 +81,60 @@ def test_resample_identity_within_quantizer_pcm16(spark):
     assert audio.snr_db(ref / 32767.0, got / 32767.0) >= 80.0
 
 
+def test_resample_sliced_output_matches_single_slice(spark):
+    """Output-bounded slicing (the int32-offset-overflow guard): forcing
+    a tiny max_slice_bytes makes one input batch emit many RecordBatches;
+    rows must be identical to the single-slice path, error rows included."""
+    rows = _mk_rows()
+    df = spark.createDataFrame(rows, schema=SCHEMA).coalesce(1)
+    base = {r["clip_id"]: r for r in resample_clips(df, dst_sr=44100).collect()}
+    sliced = {
+        r["clip_id"]: r
+        for r in resample_clips(df, dst_sr=44100, max_slice_bytes=4096).collect()
+    }
+    assert set(base) == set(sliced)
+    for cid in base:
+        b, s = base[cid], sliced[cid]
+        assert b["resample_error"] == s["resample_error"], cid
+        assert b["n_samples_out"] == s["n_samples_out"], cid
+        assert (b["bytes_out"] is None) == (s["bytes_out"] is None), cid
+        if b["bytes_out"] is not None:
+            assert bytes(b["bytes_out"]) == bytes(s["bytes_out"]), cid
+
+
+def test_mixed_null_and_unknown_codec_batch(spark):
+    """A batch mixing codec=NULL with an unknown string codec must yield
+    error rows, not a numpy sort TypeError that kills the task (shared
+    _classify_errors contract — decode / resample / spectral)."""
+    from hydra_spark.functions.decode import decode_features
+    from hydra_spark.functions.spectral import spectral_clips
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("sr_hz", T.IntegerType(), True),
+            T.StructField("codec", T.StringType(), True),
+        ]
+    )
+    ok_buf = bytearray(audio.encode(np.zeros(16), "pcm16"))
+    rows = [
+        ("a", ok_buf, 16000, "pcm16"),
+        ("b", bytearray(b"\x01\x02"), 16000, None),
+        ("c", bytearray(b"\x01\x02"), 16000, "mp3"),
+    ]
+    df = spark.createDataFrame(rows, schema=schema).coalesce(1)
+    for fn, err_col in (
+        (lambda d: resample_clips(d), "resample_error"),
+        (decode_features, "decode_error"),
+        (spectral_clips, "decode_error"),
+    ):
+        got = {r["clip_id"]: r for r in fn(df).collect()}
+        assert got["a"][err_col] is None
+        assert "unsupported codec" in got["b"][err_col]
+        assert "unsupported codec: mp3" in got["c"][err_col]
+
+
 def test_resample_shared_oracle_properties():
     """The shared definition itself: duration preserved, clamped tail,
     linearity on a ramp (interior points exact)."""

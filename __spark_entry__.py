@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_error_codes": A.publish_error_codes,
         "kv_mismatch_report": A.kv_mismatch_report,
         "schema_evolution": A.schema_evolution,
+        # Iceberg-style snapshot time travel + rollback (D-tier catalog):
+        # three table states, each reproduced by the oracle in SQL
+        "table_time_travel": A.table_time_travel,
         # §2.9 correlation ids / T10 schema inference
         "correlation_ids": A.correlation_ids,
         "json_schema_infer": A.json_schema_infer,
@@ -831,6 +834,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey,
                    round(CASE WHEN o_orderkey % 2 = 0 THEN 0.0 ELSE o_totalprice END, 4) AS o_totalprice
             FROM orders
+        """,
+        "table_time_travel": """
+            WITH v1 AS (
+              SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+              FROM orders),
+            cur AS (
+              SELECT count(*) AS n_rows,
+                     round(sum(CASE WHEN o_custkey % 3 = 0 THEN o_totalprice * 2
+                               ELSE o_totalprice END), 2) AS sum_price
+              FROM orders WHERE o_orderkey % 5 <> 0)
+            SELECT 'v1' AS snap, n_rows, sum_price FROM v1
+            UNION ALL SELECT 'current', n_rows, sum_price FROM cur
+            UNION ALL SELECT 'rolled_back', n_rows, sum_price FROM v1
         """,
         "json_schema_infer": """
             SELECT event_type,

@@ -576,6 +576,59 @@ def schema_evolution(spark, sf_dir):
     )
 
 
+def table_time_travel(spark, sf_dir):
+    """Iceberg-style snapshot time travel + rollback on the
+    transactional table (tables.py snapshots/read(version)/rollback —
+    Iceberg VERSION AS OF / rollback_to_snapshot; Hydra analog: the
+    compacted-topic history a consumer can re-read from any offset).
+
+    Three oracle-checked snapshots of one keyed table:
+      * v1    — all orders upserted (batch b1)
+      * current — after batch b2: totalprice doubled where custkey%3=0,
+        keys with orderkey%5=0 tombstone-deleted
+      * rolled_back — read AFTER rollback(v1): must equal v1 exactly
+    Every row is an aggregate over a table state, so the DuckDB oracle
+    reproduces each snapshot from the raw orders table in SQL."""
+    import os as _os
+    import shutil as _shutil
+
+    from hydra_spark.tables import TransactionalTable
+
+    root = _os.path.join(
+        "/root/repo/.data/entry", f"time_travel_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    t = TransactionalTable(root, ["o_orderkey"], n_buckets=8)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    t.merge_upsert(spark, orders, "b1")
+    v1 = t.manifest()["version"]
+
+    updates = (
+        orders.where((F.col("o_custkey") % 3 == 0) & (F.col("o_orderkey") % 5 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("_delete", F.lit(False))
+    )
+    deletes = orders.where(F.col("o_orderkey") % 5 == 0).withColumn("_delete", F.lit(True))
+    t.merge_upsert(spark, updates.unionByName(deletes), "b2")
+
+    def agg(df, label):
+        return df.agg(
+            F.lit(label).alias("snap"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+
+    hist = t.read(spark, version=v1)  # time travel (file list pinned now)
+    cur = t.read(spark)
+    assert t.rollback(v1) == t.manifest()["version"]
+    back = t.read(spark)  # post-rollback current == v1 state
+    # replaying an already-committed batch after rollback stays a no-op
+    assert t.merge_upsert(spark, deletes, "b2") is False
+    return agg(hist, "v1").unionByName(agg(cur, "current")).unionByName(
+        agg(back, "rolled_back")
+    )
+
+
 def json_typed_convert(spark, sf_dir):
     """T3 payload->typed conversion with augmented error detail
     (Hydra JSON->Avro conversion, StringToGenericRecord.scala:74-85;

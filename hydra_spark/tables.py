@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -38,6 +39,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 class SchemaCompatError(ValueError):
     """Incompatible schema evolution (SchemaRegistry compat validation)."""
+
+
+class SnapshotExpiredError(ValueError):
+    """Time-travel to a snapshot removed by expire_snapshots (or one that
+    never existed). Iceberg raises the same on reads of expired
+    snapshot ids — the failure must be loud, never a silent empty read."""
 
 
 class InvalidKeySchemaError(ValueError):
@@ -108,11 +115,22 @@ class TransactionalTable:
             return None
 
     def manifest(self) -> dict:
-        v = self._current_version()
-        with open(os.path.join(self.path, "manifests", f"v{v}.json")) as f:
-            return json.load(f)
+        return self.manifest_at(self._current_version())
+
+    def manifest_at(self, version: int) -> dict:
+        """Load a specific snapshot's manifest. Raises SnapshotExpiredError
+        if that version was removed by expire_snapshots (or never existed)."""
+        p = os.path.join(self.path, "manifests", f"v{version}.json")
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise SnapshotExpiredError(
+                f"snapshot v{version} is expired or does not exist (table {self.path})"
+            ) from None
 
     def _write_manifest(self, m: dict) -> None:
+        m["committed_at"] = time.time()  # snapshot timestamp (read_as_of)
         v = m["version"]
         mp = os.path.join(self.path, "manifests", f"v{v}.json")
         tmp = mp + ".tmp"
@@ -200,14 +218,122 @@ class TransactionalTable:
         return dict(self.manifest().get("properties", {}))
 
     # ---------------------------------------------------------- read
-    def read(self, spark: SparkSession) -> DataFrame:
-        m = self.manifest()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or — time travel — any retained
+        historical snapshot by manifest version (Iceberg
+        ``VERSION AS OF``). A snapshot pins BOTH its file list and its
+        schema: a v-old read projects onto the schema as registered at
+        that version, not today's."""
+        m = self.manifest() if version is None else self.manifest_at(version)
         files = [p for fl in m["files"].values() for p in fl]
         if not files:
             # empty table with correct key schema is the caller's problem;
             # return empty DF from schema hint if any data ever existed
             return spark.createDataFrame([], schema="dummy string").limit(0)
         return self._read_files(spark, files, m)
+
+    # ------------------------------------------------- snapshot lifecycle
+    def snapshots(self) -> list[dict]:
+        """Retained snapshots, oldest first: [{version, committed_at,
+        n_files, n_batches}] — the Iceberg ``table.snapshots()`` metadata
+        view. Only manifests still on disk appear (expired ones don't)."""
+        out = []
+        mdir = os.path.join(self.path, "manifests")
+        for name in os.listdir(mdir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "committed_at": m.get("committed_at", 0.0),
+                    "n_files": sum(len(v) for v in m["files"].values()),
+                    "n_batches": len(m["committed_batches"]),
+                }
+            )
+        return sorted(out, key=lambda s: s["version"])
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Time travel by wall-clock: latest retained snapshot whose
+        commit time is <= ts (Iceberg ``TIMESTAMP AS OF``)."""
+        eligible = [s["version"] for s in self.snapshots() if s["committed_at"] <= ts]
+        if not eligible:
+            raise SnapshotExpiredError(
+                f"no snapshot at or before ts={ts} (table {self.path})"
+            )
+        return self.read(spark, version=max(eligible))
+
+    def rollback(self, version: int) -> int:
+        """Restore table state (files, file schemas, schema versions,
+        properties) to an earlier snapshot AS A NEW VERSION — history is
+        append-only, exactly Iceberg's rollback_to_snapshot. Returns the
+        new version id. ``committed_batches`` is carried forward, NOT
+        rolled back: a batch that was committed once stays committed for
+        exactly-once purposes even if its data was undone — replaying it
+        after a rollback must still be a no-op."""
+        old = self.manifest_at(version)
+        cur = self.manifest()
+        self._write_manifest(
+            {
+                **old,
+                "version": cur["version"] + 1,
+                "committed_batches": cur["committed_batches"],
+                "rolled_back_from": cur["version"],
+                "rolled_back_to": version,
+            }
+        )
+        return cur["version"] + 1
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        files referenced ONLY by the dropped ones (Iceberg
+        expire_snapshots). This is the compaction-debt release valve: at
+        10^12-row scale every merge_upsert rewrites whole buckets, so
+        without expiry the table holds every bucket generation ever
+        written. Returns {"manifests_removed", "files_deleted"}.
+
+        Only deletes files no RETAINED manifest references — a time-travel
+        read of any kept version stays valid; reads of expired versions
+        raise SnapshotExpiredError."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.snapshots()
+        cur = self._current_version()
+        keep = {s["version"] for s in snaps[-keep_last:]} | {cur}
+        expired = [s["version"] for s in snaps if s["version"] not in keep]
+        live: set[str] = set()
+        for v in keep:
+            for fl in self.manifest_at(v)["files"].values():
+                live.update(fl)
+        files_deleted = 0
+        for v in expired:
+            m = self.manifest_at(v)
+            for fl in m["files"].values():
+                for p in fl:
+                    if p not in live and os.path.exists(p):
+                        os.remove(p)
+                        files_deleted += 1
+                        crc = os.path.join(
+                            os.path.dirname(p), "." + os.path.basename(p) + ".crc"
+                        )
+                        if os.path.exists(crc):
+                            os.remove(crc)
+            os.remove(os.path.join(self.path, "manifests", f"v{v}.json"))
+        # prune now-empty commit dirs (bucket partitions then c* roots)
+        data_root = os.path.join(self.path, "data")
+        for commit_dir in os.listdir(data_root):
+            cpath = os.path.join(data_root, commit_dir)
+            for sub in list(os.listdir(cpath)) if os.path.isdir(cpath) else []:
+                spath = os.path.join(cpath, sub)
+                if os.path.isdir(spath) and not os.listdir(spath):
+                    os.rmdir(spath)
+            if os.path.isdir(cpath) and not any(
+                e.endswith(".parquet") or os.path.isdir(os.path.join(cpath, e))
+                for e in os.listdir(cpath)
+            ):
+                shutil.rmtree(cpath)
+        return {"manifests_removed": len(expired), "files_deleted": files_deleted}
 
     def _read_files(self, spark: SparkSession, files: list[str], m: dict) -> DataFrame:
         versions = m.get("schema_versions", [])

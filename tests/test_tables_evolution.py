@@ -168,3 +168,77 @@ def test_evolution_explicit_null_stays_null(spark, tmp_path):
     got = {r.k: r.w for r in t.read(spark).collect()}
     assert got["a"] == 1.5  # absent column -> default
     assert got["b"] is None  # explicit NULL stays NULL
+
+
+def _kv_df(spark, pairs):
+    return spark.createDataFrame(pd.DataFrame({"k": [p[0] for p in pairs], "v": [p[1] for p in pairs]}))
+
+
+def test_time_travel_read_and_snapshots(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.merge_upsert(spark, _kv_df(spark, [("a", 1), ("b", 2)]), 0)
+    v1 = t.manifest()["version"]
+    t.merge_upsert(spark, _kv_df(spark, [("b", 20), ("c", 3)]), 1)
+    v2 = t.manifest()["version"]
+    assert {r.k: r.v for r in t.read(spark, version=v1).collect()} == {"a": 1, "b": 2}
+    assert {r.k: r.v for r in t.read(spark, version=v2).collect()} == {"a": 1, "b": 20, "c": 3}
+    snaps = t.snapshots()
+    assert [s["version"] for s in snaps] == [0, v1, v2]
+    assert snaps[-1]["n_batches"] == 2
+    # monotone commit timestamps -> read_as_of picks the right snapshot
+    assert snaps[1]["committed_at"] <= snaps[2]["committed_at"]
+    got = t.read_as_of(spark, snaps[1]["committed_at"])
+    assert {r.k: r.v for r in got.collect()} == {"a": 1, "b": 2}
+    with pytest.raises(tbl.SnapshotExpiredError):
+        t.read_as_of(spark, -1.0)
+    with pytest.raises(tbl.SnapshotExpiredError):
+        t.read(spark, version=99)
+
+
+def test_time_travel_pins_old_schema(spark, tmp_path):
+    """A snapshot read uses the schema AS OF that version: the column
+    added by a later evolution must not appear in the old snapshot."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.register_schema(V1)
+    t.merge_upsert(spark, _kv_df(spark, [("a", 1)]), 0)
+    v1 = t.manifest()["version"]
+    t.register_schema(V2)
+    t.merge_upsert(
+        spark, spark.createDataFrame(pd.DataFrame({"k": ["b"], "v": [2], "w": [9.0]})), 1
+    )
+    assert [f.name for f in t.read(spark, version=v1).schema.fields] == ["k", "v"]
+    assert [f.name for f in t.read(spark).schema.fields] == ["k", "v", "w"]
+
+
+def test_rollback_then_replay_is_noop(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.merge_upsert(spark, _kv_df(spark, [("a", 1), ("b", 2)]), 0)
+    v1 = t.manifest()["version"]
+    t.merge_upsert(spark, _kv_df(spark, [("b", 20)]), 1)
+    new_v = t.rollback(v1)
+    assert t.manifest()["version"] == new_v
+    assert {r.k: r.v for r in t.read(spark).collect()} == {"a": 1, "b": 2}
+    # exactly-once survives rollback: batch 1 is still committed
+    assert t.merge_upsert(spark, _kv_df(spark, [("b", 20)]), 1) is False
+    # and a NEW batch moves state forward from the rolled-back snapshot
+    assert t.merge_upsert(spark, _kv_df(spark, [("c", 3)]), 2) is True
+    assert {r.k: r.v for r in t.read(spark).collect()} == {"a": 1, "b": 2, "c": 3}
+
+
+def test_expire_snapshots_deletes_only_dead_files(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.merge_upsert(spark, _kv_df(spark, [("a", 1), ("b", 2)]), 0)
+    v1 = t.manifest()["version"]
+    t.merge_upsert(spark, _kv_df(spark, [("a", 10)]), 1)  # rewrites a's bucket only
+    v2 = t.manifest()["version"]
+    t.merge_upsert(spark, _kv_df(spark, [("a", 100)]), 2)
+    rep = t.expire_snapshots(keep_last=2)
+    assert rep["manifests_removed"] >= 2  # v0 + v1 gone
+    assert rep["files_deleted"] >= 1  # a's v1-generation bucket file
+    with pytest.raises(tbl.SnapshotExpiredError):
+        t.read(spark, version=v1)
+    # kept snapshots still read correctly (shared files NOT deleted:
+    # b's bucket file from v1 is still referenced by v2 and current)
+    assert {r.k: r.v for r in t.read(spark, version=v2).collect()} == {"a": 10, "b": 2}
+    assert {r.k: r.v for r in t.read(spark).collect()} == {"a": 100, "b": 2}
+    assert t.expire_snapshots(keep_last=2) == {"manifests_removed": 0, "files_deleted": 0}

@@ -148,6 +148,25 @@ def clips_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_fingerprint_dedup(c.unionByName(dups), hex_for_oracle=True)
 
 
+def clips_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window segmentation (250 ms windows, 125 ms hop — 2x
+    overlap) through the decode-free ragged byte gather
+    (functions/segment.py). FULLY byte-checked in SQL: the oracle
+    reproduces every segment's payload by slicing the hex encoding of
+    the clip bytes (hex is injective + position-preserving, 2 chars per
+    byte; DuckDB has no BLOB substring), so the md5 comparison verifies
+    the gather itself, not just the accounting."""
+    from hydra_spark.functions.segment import segment_clips
+
+    out = segment_clips(_clips(spark), seg_ms=250, hop_ms=125)
+    # mirror of the oracle's WHERE (drop error rows — see clips_resample)
+    out = out.where(F.col("segment_error").isNull())
+    return out.select(
+        "clip_id", "seg_idx", "start_sample", "n_samples_seg",
+        F.md5(F.hex(F.col("bytes_seg"))).alias("seg_md5"),
+    )
+
+
 def clips_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip spectral centroid + dominant frequency through the
     batched-rfft stage (functions/spectral.py; one 2D FFT per Arrow
@@ -440,6 +459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rate-normalization (linear-interp resample to 16 kHz); sample
         # accounting oracle-checked, bytes parity-checked in pytest
         "clips_resample": clips_resample,
+        # decode-free fixed-window segmentation; segment BYTES verified
+        # in SQL via hex-slice md5
+        "clips_segment": clips_segment,
         # batched-rfft spectral features vs the per-row fixture oracle
         "clips_spectral": clips_spectral,
         # content dedup on the audio payload (digest-only shuffle);
@@ -1125,6 +1147,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_in*16000 + sr_hz - 1)//sr_hz AS INTEGER) AS n_samples_out,
                    CAST(2*((n_in*16000 + sr_hz - 1)//sr_hz) AS INTEGER) AS n_bytes_out
             FROM s
+        """,
+        "clips_segment": """
+            WITH s AS (
+              SELECT clip_id, bytes,
+                     CASE WHEN codec = 'pcm16' THEN 2 ELSE 1 END AS bps,
+                     CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                          ELSE octet_length(bytes) END AS n,
+                     sr_hz*250//1000 AS seg_len, sr_hz*125//1000 AS hop
+              FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+              WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
+                AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)
+                AND sr_hz > 0 AND sr_hz*250//1000 >= 1 AND sr_hz*125//1000 >= 1),
+            e AS (
+              SELECT clip_id, bytes, bps, seg_len, hop,
+                     unnest(range(0, (n - seg_len)//hop + 1)) AS seg_idx
+              FROM s WHERE n >= seg_len)
+            SELECT clip_id, CAST(seg_idx AS INT) AS seg_idx,
+                   CAST(seg_idx*hop AS BIGINT) AS start_sample,
+                   CAST(seg_len AS INT) AS n_samples_seg,
+                   md5(substring(hex(bytes),
+                                 CAST(seg_idx*hop*bps*2 + 1 AS BIGINT),
+                                 CAST(seg_len*bps*2 AS BIGINT))) AS seg_md5
+            FROM e
         """,
         "clips_transcript_normalize": """
             SELECT clip_id,

@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Iceberg-style snapshot time travel + rollback (D-tier catalog):
         # three table states, each reproduced by the oracle in SQL
         "table_time_travel": A.table_time_travel,
+        # change-data-feed between snapshots (bucket-pruned incremental
+        # scan); all three change types reproduced by the oracle
+        "table_changes": A.table_changes,
         # §2.9 correlation ids / T10 schema inference
         "correlation_ids": A.correlation_ids,
         "json_schema_infer": A.json_schema_infer,
@@ -869,6 +872,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'v1' AS snap, n_rows, sum_price FROM v1
             UNION ALL SELECT 'current', n_rows, sum_price FROM cur
             UNION ALL SELECT 'rolled_back', n_rows, sum_price FROM v1
+        """,
+        "table_changes": """
+            SELECT -o_orderkey - 1 AS o_orderkey, 'insert' AS change_type,
+                   round(o_totalprice, 2) AS price
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, 'update', round(o_totalprice * 2, 2)
+            FROM orders WHERE o_custkey % 3 = 0 AND o_orderkey % 5 <> 0
+            UNION ALL
+            SELECT o_orderkey, 'delete', round(o_totalprice, 2)
+            FROM orders WHERE o_orderkey % 5 = 0
         """,
         "json_schema_infer": """
             SELECT event_type,

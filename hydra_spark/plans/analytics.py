@@ -629,6 +629,49 @@ def table_time_travel(spark, sf_dir):
     )
 
 
+def table_changes(spark, sf_dir):
+    """Change-data-feed read between two snapshots (tables.py
+    read_changes — Delta CDF / Iceberg incremental-scan analog; Hydra
+    analog: consuming a compacted topic's delta instead of re-reading
+    the full state). Commit b1 = all orders; commit b2 = doubled
+    totalprice where custkey%3=0 (update), tombstones where
+    orderkey%5=0 (delete), fresh negative-key copies (-k-1) where orderkey%7=0
+    (insert). read_changes(v1) must emit exactly those rows — the
+    oracle reproduces all three change sets from raw orders in SQL.
+    Bucket pruning (manifest-diff) is pytest-asserted separately."""
+    import os as _os
+    import shutil as _shutil
+
+    from hydra_spark.tables import TransactionalTable
+
+    root = _os.path.join(
+        "/root/repo/.data/entry", f"table_changes_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    t = TransactionalTable(root, ["o_orderkey"], n_buckets=8)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    t.merge_upsert(spark, orders, "b1")
+    v1 = t.manifest()["version"]
+
+    updates = (
+        orders.where((F.col("o_custkey") % 3 == 0) & (F.col("o_orderkey") % 5 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("_delete", F.lit(False))
+    )
+    deletes = orders.where(F.col("o_orderkey") % 5 == 0).withColumn("_delete", F.lit(True))
+    inserts = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderkey", -F.col("o_orderkey") - 1)
+        .withColumn("_delete", F.lit(False))
+    )
+    t.merge_upsert(spark, updates.unionByName(deletes).unionByName(inserts), "b2")
+    return t.read_changes(spark, v1).select(
+        "o_orderkey",
+        F.col("_change_type").alias("change_type"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
 def json_typed_convert(spark, sf_dir):
     """T3 payload->typed conversion with augmented error detail
     (Hydra JSON->Avro conversion, StringToGenericRecord.scala:74-85;

@@ -264,6 +264,79 @@ class TransactionalTable:
             )
         return self.read(spark, version=max(eligible))
 
+    def read_changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental scan between two snapshots — the Delta CDF /
+        Iceberg incremental-read analog. Returns the latest-schema
+        columns plus ``_change_type`` ('insert' | 'update' | 'delete');
+        unchanged keys produce no row. Delete rows carry the OLD values
+        (pre-image), insert/update rows the new ones.
+
+        Scale posture: the diff is BUCKET-PRUNED from the manifests
+        alone — a bucket whose file list is identical in both snapshots
+        cannot contain a change and is never read, so an incremental
+        consumer of a 10^12-row table pays for the touched buckets, not
+        a full-table join. Within touched buckets the diff is one
+        full-outer join on the key with a null-safe struct compare."""
+        m_from = self.manifest_at(from_version)
+        m_to = self.manifest() if to_version is None else self.manifest_at(to_version)
+        f_from = {k: sorted(v) for k, v in m_from["files"].items()}
+        f_to = {k: sorted(v) for k, v in m_to["files"].items()}
+        changed = [
+            b for b in set(f_from) | set(f_to) if f_from.get(b, []) != f_to.get(b, [])
+        ]
+        files_a = [p for b in changed for p in f_from.get(b, [])]
+        files_b = [p for b in changed for p in f_to.get(b, [])]
+
+        def _side(files, m, like=None):
+            if files:
+                return self._read_files(spark, files, m)
+            if like is not None:
+                return like.limit(0)
+            return None
+
+        a = _side(files_a, m_from)
+        b = _side(files_b, m_to)
+        if a is None and b is None:  # nothing changed at all
+            empty = self.read(spark).limit(0)
+            return empty.withColumn("_change_type", F.lit(None).cast("string"))
+        if a is None:
+            a = b.limit(0)
+        if b is None:
+            b = a.limit(0)
+        # align the old side onto the new side's schema (evolution between
+        # the snapshots): missing fields read as their declared default —
+        # the same resolution a rewrite would materialize
+        versions = m_to.get("schema_versions", [])
+        if versions:
+            a = _project_to_schema(a, versions[-1]["fields"])
+        else:
+            for c in b.columns:
+                if c not in a.columns:
+                    a = a.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
+            a = a.select(*b.columns)
+        cols = b.columns
+        val_cols = [c for c in cols if c not in self.key_cols]
+        left = a.select(*self.key_cols, F.struct(*val_cols).alias("_old"))
+        right = b.select(*self.key_cols, F.struct(*val_cols).alias("_new"))
+        j = left.join(right, on=self.key_cols, how="full_outer")
+        change = (
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+        )
+        picked = F.when(F.col("_new").isNull(), F.col("_old")).otherwise(F.col("_new"))
+        return (
+            j.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(
+                *self.key_cols,
+                *[picked.getField(c).alias(c) for c in val_cols],
+                "_change_type",
+            )
+        )
+
     def rollback(self, version: int) -> int:
         """Restore table state (files, file schemas, schema versions,
         properties) to an earlier snapshot AS A NEW VERSION — history is

@@ -242,3 +242,63 @@ def test_expire_snapshots_deletes_only_dead_files(spark, tmp_path):
     assert {r.k: r.v for r in t.read(spark, version=v2).collect()} == {"a": 10, "b": 2}
     assert {r.k: r.v for r in t.read(spark).collect()} == {"a": 100, "b": 2}
     assert t.expire_snapshots(keep_last=2) == {"manifests_removed": 0, "files_deleted": 0}
+
+
+def test_read_changes_types_and_preimage(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.merge_upsert(spark, _kv_df(spark, [("a", 1), ("b", 2), ("c", 3)]), 0)
+    v1 = t.manifest()["version"]
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["b", "c", "d"], "v": [20, 3, 4], "_delete": [False, True, False]}
+        )
+    )
+    t.merge_upsert(spark, batch, 1)
+    rows = {r.k: (r.v, r._change_type) for r in t.read_changes(spark, v1).collect()}
+    # a unchanged -> no row; b updated (new value); c deleted (pre-image
+    # value 3); d inserted
+    assert rows == {"b": (20, "update"), "c": (3, "delete"), "d": (4, "insert")}
+    # explicit to_version: v1 -> v1 is an empty diff
+    assert t.read_changes(spark, v1, to_version=v1).count() == 0
+
+
+def test_read_changes_bucket_pruned(spark, tmp_path):
+    """Buckets whose manifest file lists are identical in both snapshots
+    must not be READ at all — assert via the scan's input files."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=8)
+    keys = [(f"k{i}", i) for i in range(32)]
+    t.merge_upsert(spark, _kv_df(spark, keys), 0)
+    v1 = t.manifest()["version"]
+    m1 = t.manifest()
+    t.merge_upsert(spark, _kv_df(spark, [("k0", 100)]), 1)
+    ch = t.read_changes(spark, v1)
+    assert {(r.k, r.v, r._change_type) for r in ch.collect()} == {("k0", 100, "update")}
+    # only k0's bucket may be scanned, from both snapshots
+    import pyspark.sql.functions as F
+
+    bucket = t._bucket_col()
+    b0 = _kv_df(spark, [("k0", 0)]).select(bucket.alias("b")).collect()[0].b
+    allowed = set(m1["files"][str(b0)]) | set(t.manifest()["files"][str(b0)])
+    scanned = {f.replace("file://", "") for f in ch.inputFiles()}
+    assert scanned and scanned <= allowed
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    """Old-snapshot rows are projected onto the new schema (declared
+    default) before the diff, so adding a column does NOT turn every
+    untouched row into a spurious update."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.register_schema(V1)
+    t.merge_upsert(spark, _kv_df(spark, [("a", 1), ("b", 2)]), 0)
+    v1 = t.manifest()["version"]
+    t.register_schema(V2)  # adds w double default 1.5
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(pd.DataFrame({"k": ["b"], "v": [2], "w": [9.0]})),
+        1,
+    )
+    rows = {r.k: (r.v, r.w, r._change_type) for r in t.read_changes(spark, v1).collect()}
+    # a's pre/post images are both (1, default 1.5) -> pruned... BUT a
+    # shares a bucket generation rewrite only if its bucket was touched;
+    # either way it must not appear as a change
+    assert rows == {"b": (2, 9.0, "update")}

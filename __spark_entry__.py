@@ -377,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # change-data-feed between snapshots (bucket-pruned incremental
         # scan); all three change types reproduced by the oracle
         "table_changes": A.table_changes,
+        # key-stable deterministic splitting/sampling (md5-threshold,
+        # pure projection); membership oracle-checked via sum(doc_id)
+        "doc_hash_split": A.doc_hash_split,
+        "doc_stratified_sample": A.doc_stratified_sample,
         # §2.9 correlation ids / T10 schema inference
         "correlation_ids": A.correlation_ids,
         "json_schema_infer": A.json_schema_infer,
@@ -872,6 +876,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'v1' AS snap, n_rows, sum_price FROM v1
             UNION ALL SELECT 'current', n_rows, sum_price FROM cur
             UNION ALL SELECT 'rolled_back', n_rows, sum_price FROM v1
+        """,
+        "doc_hash_split": """
+            SELECT CASE
+                     WHEN md5(CAST(doc_id AS VARCHAR)) <
+                          'cccccccccccccccccccccccccccccccc' THEN 'train'
+                     WHEN md5(CAST(doc_id AS VARCHAR)) <
+                          'e6666666666666666666666666666666' THEN 'val'
+                     ELSE 'test' END AS split,
+                   count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id
+            FROM documents GROUP BY 1
+        """,
+        "doc_stratified_sample": """
+            SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id
+            FROM documents
+            WHERE CASE lang
+                    WHEN 'en' THEN md5(CAST(doc_id AS VARCHAR) || 'v1') <
+                                   '80000000000000000000000000000000'
+                    WHEN 'de' THEN md5(CAST(doc_id AS VARCHAR) || 'v1') <
+                                   '40000000000000000000000000000000'
+                    WHEN 'fr' THEN md5(CAST(doc_id AS VARCHAR) || 'v1') <
+                                   '40000000000000000000000000000000'
+                    WHEN 'es' THEN TRUE
+                    ELSE FALSE END
+            GROUP BY 1
         """,
         "table_changes": """
             SELECT -o_orderkey - 1 AS o_orderkey, 'insert' AS change_type,

@@ -672,6 +672,40 @@ def table_changes(spark, sf_dir):
     )
 
 
+def doc_hash_split(spark, sf_dir):
+    """Deterministic key-stable train/val/test assignment
+    (ops/sampling.py hash_split): md5(doc_id) thresholded at exact
+    0.8/0.9 cumulative hex literals — a pure projection, no shuffle, no
+    seed; a record can never migrate across splits when data is added
+    or the job re-runs. Membership itself (not just the counts) is
+    oracle-checked via sum(doc_id) per split."""
+    from hydra_spark.ops.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = hash_split(docs, {"train": "0.8", "val": "0.1", "test": "0.1"}, "doc_id")
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_id")
+    )
+
+
+def doc_stratified_sample(spark, sf_dir):
+    """Key-stable stratified sampling (ops/sampling.py
+    stratified_sample): per-language keep fractions via salted
+    md5-thresholding — the deterministic analog of sampleBy. en 50%,
+    de/fr 25%, es 100% (the clamp path), zh absent -> dropped
+    (default 0). Same projection-only scale shape as hash_split."""
+    from hydra_spark.ops.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"en": "0.5", "de": "0.25", "fr": "0.25", "es": 1},
+        group_col="lang", key_col="doc_id", salt="v1",
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_id")
+    )
+
+
 def json_typed_convert(spark, sf_dir):
     """T3 payload->typed conversion with augmented error detail
     (Hydra JSON->Avro conversion, StringToGenericRecord.scala:74-85;

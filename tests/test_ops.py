@@ -407,3 +407,75 @@ def test_ivf_train_improves_objective_and_recall_floor(spark, emb):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.5, f"trained-IVF recall@3 {recall:.2f}"
+
+
+# ------------------------------------------------- deterministic sampling
+
+
+def test_hash_split_key_stable_and_exact(spark):
+    """Assignment is a pure function of the key: identical across
+    repartitioning AND across which other rows are present (no
+    leakage when the corpus grows)."""
+    from hydra_spark.ops.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": "0.8", "val": "0.1", "test": "0.1"}
+    a = {r.doc_id: r.split for r in hash_split(df, w, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(13), w, "doc_id").collect()
+    }
+    assert a == b
+    # subset invariance: first half alone gets the same assignments
+    c = {
+        r.doc_id: r.split
+        for r in hash_split(df.where(F.col("doc_id") < 1000), w, "doc_id").collect()
+    }
+    assert c == {k: v for k, v in a.items() if k < 1000}
+    # proportions: md5 is uniform, so expect ~80/10/10 within a few %
+    from collections import Counter
+
+    n = Counter(a.values())
+    assert abs(n["train"] / 2000 - 0.8) < 0.04
+    assert abs(n["val"] / 2000 - 0.1) < 0.03
+    assert abs(n["test"] / 2000 - 0.1) < 0.03
+
+
+def test_hash_split_weight_validation(spark):
+    from hydra_spark.ops.sampling import hash_split, hex_threshold
+
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, {"a": "0.5", "b": "0.4"}, "doc_id")  # sums to 0.9
+    with pytest.raises(ValueError):
+        hex_threshold("1.5")
+    assert hex_threshold(1) == "g"  # clamp: sorts after every hex string
+    assert hex_threshold("0.5") == "8" + "0" * 31
+
+
+def test_stratified_sample_deterministic_and_salted(spark):
+    from hydra_spark.ops.sampling import stratified_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    fr = {"en": "0.5", "de": 1}
+    a = {r.doc_id for r in stratified_sample(df, fr, "lang", "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(df.repartition(7), fr, "lang", "doc_id").collect()
+    }
+    assert a == b
+    assert all(d in a for d in range(1, 1000, 2))  # de kept fully (frac 1)
+    n_en = sum(1 for d in a if d % 2 == 0)
+    assert abs(n_en / 500 - 0.5) < 0.07
+    # unlisted groups drop by default
+    only_en = stratified_sample(df, {"en": "0.25"}, "lang", "doc_id").collect()
+    assert all(r.lang == "en" for r in only_en)
+    # a different salt draws an independent hash -> different survivors
+    c = {
+        r.doc_id
+        for r in stratified_sample(df, fr, "lang", "doc_id", salt="other").collect()
+    }
+    assert c != a and all(d in c for d in range(1, 1000, 2))

@@ -377,6 +377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # change-data-feed between snapshots (bucket-pruned incremental
         # scan); all three change types reproduced by the oracle
         "table_changes": A.table_changes,
+        # as-of join (nearest-earlier match, union+window — no range
+        # state); oracle is an independent LATERAL formulation
+        "asof_purchase_click": A.asof_purchase_click,
         # key-stable deterministic splitting/sampling (md5-threshold,
         # pure projection); membership oracle-checked via sum(doc_id)
         "doc_hash_split": A.doc_hash_split,
@@ -876,6 +879,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'v1' AS snap, n_rows, sum_price FROM v1
             UNION ALL SELECT 'current', n_rows, sum_price FROM cur
             UNION ALL SELECT 'rolled_back', n_rows, sum_price FROM v1
+        """,
+        "asof_purchase_click": """
+            WITH p AS (SELECT user_id, event_id AS purchase_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, event_id AS click_id, ts
+                       FROM events WHERE event_type = 'click')
+            SELECT p.user_id, p.purchase_id, m.click_id
+            FROM p LEFT JOIN LATERAL (
+              SELECT c.click_id FROM c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL 30 MINUTE
+              ORDER BY c.ts DESC, c.click_id DESC LIMIT 1
+            ) m ON TRUE
         """,
         "doc_hash_split": """
             SELECT CASE

@@ -19,7 +19,7 @@ compacted-cache semantics (ConsumerGroupsAlgebra.scala:254-303).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def clip_transcript_join(
@@ -68,3 +68,92 @@ def dedup_within_watermark(
     if df.isStreaming:
         return df.withWatermark(event_col, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance: str | None = None,
+    tiebreak: str | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: each left row matches the LATEST right row with the
+    same key and right_ts <= left_ts (optionally within ``tolerance``,
+    e.g. "30 minutes"). The nearest-earlier-match operator every
+    event/feature pipeline needs (pandas merge_asof / DuckDB ASOF JOIN)
+    that Spark has no built-in for.
+
+    Spark-first shape — NOT a join at all: both sides are tagged and
+    unioned, then one window pass per key ordered by (ts, side,
+    tiebreak) carries the last-seen right payload forward
+    (``last(ignorenulls)`` over unbounded-preceding). Cost = ONE
+    shuffle on the key + a sort within partitions — the same price as
+    the sort-merge join Spark would run for an equi-join, with no
+    range-condition state blowup and no per-row Python. Equal
+    timestamps: the right row counts (backward-inclusive); among
+    equal-ts right rows the greatest ``tiebreak`` wins (deterministic).
+
+    Output: every left column, plus the matched right row's non-key
+    columns (NULL when unmatched; ``how='inner'`` drops unmatched).
+    Right non-key columns colliding with left names get an ``_asof``
+    suffix.
+    """
+    lpay = [c for c in left.columns if c not in on]
+    rpay = [c for c in right.columns if c not in on]
+    if not rpay:
+        raise ValueError("right side needs at least one non-key column")
+    rnames = {c: (c + "_asof" if c in left.columns else c) for c in rpay}
+    l_struct = F.struct(*[F.col(c) for c in lpay]).alias("_l")
+    r_struct = F.struct(
+        *[F.col(c).alias(rnames[c]) for c in rpay],
+        F.col(right_ts).cast("timestamp").alias("_rts"),
+    ).alias("_r")
+    l_t = left.select(*on, l_struct)
+    r_t = right.select(*on, r_struct)
+    # NULL literal of the opposite side's struct type keeps the union
+    # schema exact (unionByName with allowMissing would type it void)
+    l_type = l_t.schema["_l"].dataType
+    r_type = r_t.schema["_r"].dataType
+    u = l_t.select(
+        *on,
+        F.col("_l")[left_ts].cast("timestamp").alias("_t"),
+        F.lit(1).alias("_side"),
+        "_l",
+        F.lit(None).cast(r_type).alias("_r"),
+    ).unionByName(
+        r_t.select(
+            *on,
+            F.col("_r")["_rts"].alias("_t"),
+            F.lit(0).alias("_side"),
+            F.lit(None).cast(l_type).alias("_l"),
+            "_r",
+        )
+    )
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    if tiebreak is not None:
+        order.append(F.col("_r")[rnames.get(tiebreak, tiebreak)].asc_nulls_first())
+    w = (
+        W.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).where(
+        F.col("_side") == 1
+    )
+    if tolerance is not None:
+        in_tol = F.col("_m")["_rts"] >= F.col("_t") - F.expr(f"interval {tolerance}")
+        matched = matched.withColumn(
+            "_m", F.when(in_tol, F.col("_m")).otherwise(F.lit(None).cast(r_type))
+        )
+    if how == "inner":
+        matched = matched.where(F.col("_m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how}")
+    return matched.select(
+        *on,
+        *[F.col("_l")[c].alias(c) for c in lpay],
+        *[F.col("_m")[rnames[c]].alias(rnames[c]) for c in rpay],
+    )

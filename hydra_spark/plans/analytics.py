@@ -169,6 +169,34 @@ def interval_join(spark, sf_dir):
     return clicks.join(buys, cond, "inner").select("click_id", "purchase_id", "user_id")
 
 
+def asof_purchase_click(spark, sf_dir):
+    """As-of join (operators/join.py asof_join): each purchase matched
+    to the user's LATEST click at or before it, within 30 minutes —
+    nearest-earlier-match semantics (pandas merge_asof / DuckDB ASOF
+    JOIN) built as one union + window pass, no range-join state. The
+    oracle is an independent formulation: DuckDB LEFT JOIN LATERAL with
+    ORDER BY ts DESC, id DESC LIMIT 1 (same backward-inclusive +
+    greatest-tiebreak contract)."""
+    from hydra_spark.operators.join import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        tolerance="30 minutes", tiebreak="click_id",
+    )
+    return out.select("user_id", "purchase_id", "click_id")
+
+
 # ------------------------------------------------------ T6 key extraction / JsonPath
 
 def key_extraction(spark, sf_dir):

@@ -50,3 +50,64 @@ def test_latest_wins_batch_tombstones(spark):
     got = dict(zip(out.k, out.v))
     # a -> latest a2; b -> latest is tombstone (dropped); c -> c1
     assert got == {"a": "a2", "c": "c1"}
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of with tolerance + greatest-id tiebreak,
+    verified against a brute-force per-row oracle."""
+    import datetime as dt
+
+    from hydra_spark.operators.join import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [("u1", 100, ts(10)), ("u1", 101, ts(40)), ("u2", 102, ts(5)),
+         ("u3", 103, ts(10))],
+        "user string, lid int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 1, ts(10)),  # equal-ts: counts for lid=100
+            ("u1", 2, ts(10)),  # same ts: greater id wins the tiebreak
+            ("u1", 3, ts(9)),
+            ("u1", 4, ts(41)),  # after lid=101: never matches
+            ("u2", 5, ts(-40)), # outside the 30-minute tolerance
+        ],
+        "user string, rid int, rts timestamp",
+    )
+    out = asof_join(
+        left, right, on=["user"], left_ts="lts", right_ts="rts",
+        tolerance="30 minutes", tiebreak="rid",
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    # lid=100 -> rid 2 (equal ts, tiebreak over 1; 3 is older)
+    # lid=101 -> rid 2 (latest <= 40 within 30 min)
+    # lid=102 -> None (rid 5 outside tolerance); lid=103 -> None (no u3)
+    assert got == {100: 2, 101: 2, 102: None, 103: None}
+    inner = asof_join(
+        left, right, on=["user"], left_ts="lts", right_ts="rts",
+        tolerance="30 minutes", tiebreak="rid", how="inner",
+    )
+    assert {r.lid for r in inner.collect()} == {100, 101}
+
+
+def test_asof_join_name_collision_and_no_tolerance(spark):
+    import datetime as dt
+
+    from hydra_spark.operators.join import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", 1, t0)], "key string, v int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", 9, t0 - dt.timedelta(days=400))], "key string, v int, rts timestamp"
+    )
+    out = asof_join(left, right, on=["key"], left_ts="lts", right_ts="rts")
+    row = out.collect()[0]
+    # colliding right column suffixed; no tolerance -> arbitrarily old match
+    assert row.v == 1 and row.v_asof == 9

@@ -131,6 +131,7 @@ HEADLINE = [
     "doc_fingerprint",
     "winnow_fingerprints",
     "clips_window_rollup",
+    "clips_segment",
 ]
 
 

@@ -113,3 +113,44 @@ def test_segment_subsample_window_is_error(spark):
     )
     g = segment_clips(df, seg_ms=250, hop_ms=125).collect()[0]
     assert "shorter than one sample" in g["segment_error"]
+
+
+def test_segment_streaming_matches_batch(spark, clips, tmp_path):
+    """segment_clips is a stateless mapInArrow stage, so it runs
+    unchanged inside Structured Streaming; the streamed segment set
+    must equal the batch one (keys, geometry, and bytes via md5)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(str(tmp_path), "src")
+    sub = clips.where(F.col("clip_id").endswith("1")).select(
+        "clip_id", "bytes", "sr_hz", "codec"
+    )
+    sub.repartition(4).write.parquet(src)
+
+    def digest(df):
+        seg = segment_clips(df, seg_ms=250, hop_ms=125)
+        return seg.select(
+            "clip_id", "seg_idx", "start_sample",
+            F.md5(F.hex("bytes_seg")).alias("h"),
+        )
+
+    batch = {tuple(r) for r in digest(spark.read.parquet(src)).collect()}
+    stream = spark.readStream.schema(sub.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    out_dir = os.path.join(str(tmp_path), "out")
+    q = (
+        digest(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert streamed == batch and len(batch) > 100
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

@@ -80,12 +80,18 @@ def _binary_views(barr, n: int):
     return off, data, lens, is_null
 
 
-def _classify_errors(codec: np.ndarray, lens: np.ndarray, is_null: np.ndarray) -> np.ndarray:
+def _classify_errors(
+    codec: np.ndarray,
+    lens: np.ndarray,
+    is_null: np.ndarray,
+    sr: np.ndarray | None = None,
+) -> np.ndarray:
     """Shared skip-and-count error classification (null bytes / unknown
-    codec / odd pcm16 length) -> object array of error strings (None = ok).
-    Iterates the distinct bad codecs via a set, not ``np.unique`` — a batch
-    mixing a NULL codec with an unknown string codec must produce error
-    rows, not a sort-comparison TypeError that kills the task."""
+    codec / odd pcm16 length, plus non-positive sr_hz when ``sr`` is
+    given) -> object array of error strings (None = ok). Iterates the
+    distinct bad codecs via a set, not ``np.unique`` — a batch mixing a
+    NULL codec with an unknown string codec must produce error rows, not
+    a sort-comparison TypeError that kills the task."""
     n = len(codec)
     err = np.full(n, None, dtype=object)
     err[is_null] = "ValueError: null bytes"
@@ -96,6 +102,9 @@ def _classify_errors(codec: np.ndarray, lens: np.ndarray, is_null: np.ndarray) -
             err[bad & (codec == c)] = f"ValueError: unsupported codec: {c}"
     pcm_odd = (codec == "pcm16") & ~is_null & (lens % 2 == 1)
     err[pcm_odd] = "ValueError: pcm16 buffer length not a multiple of 2"
+    if sr is not None:
+        bad_sr = (sr <= 0) & ~is_null & (err == None)  # noqa: E711
+        err[bad_sr] = "ValueError: non-positive sr_hz"
     return err
 
 

@@ -74,6 +74,10 @@ def resample_clips(
     """
     if dst_sr <= 0:
         raise ValueError(f"dst_sr must be positive, got {dst_sr}")
+    if not 1 <= max_slice_bytes <= _MAX_ROW:
+        # a bound past int32 range would silently re-break the offset
+        # guard this parameter exists to enforce
+        raise ValueError(f"max_slice_bytes must be in [1, {_MAX_ROW}], got {max_slice_bytes}")
     import pyarrow as pa
 
     keep = [f for f in df.schema.fields if f.name != "bytes"]
@@ -105,9 +109,7 @@ def resample_clips(
             )
 
             off, data, lens, is_null = _binary_views(barr, n)
-            err = _classify_errors(codec, lens, is_null)
-            bad_sr = (sr <= 0) & ~is_null & (err == None)  # noqa: E711
-            err[bad_sr] = "ValueError: non-positive sr_hz"
+            err = _classify_errors(codec, lens, is_null, sr=sr)
             err_mask = err != None  # noqa: E711
 
             # per-row sample accounting (vectorized; errors stay 0)

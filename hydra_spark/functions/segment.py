@@ -77,6 +77,10 @@ def segment_clips(
     hop_ms = seg_ms if hop_ms is None else hop_ms
     if hop_ms <= 0:
         raise ValueError(f"hop_ms must be positive, got {hop_ms}")
+    if not 1 <= max_slice_bytes <= _MAX_ROW:
+        # a bound past int32 range would silently re-break the offset
+        # guard this parameter exists to enforce
+        raise ValueError(f"max_slice_bytes must be in [1, {_MAX_ROW}], got {max_slice_bytes}")
     import pyarrow as pa
 
     keep = [f for f in df.schema.fields if f.name != "bytes"]
@@ -98,9 +102,7 @@ def segment_clips(
                 dtype=np.int64,
             )
             off, data, lens, is_null = _binary_views(barr, n)
-            err = _classify_errors(codec, lens, is_null)
-            bad_sr = (sr <= 0) & ~is_null & (err == None)  # noqa: E711
-            err[bad_sr] = "ValueError: non-positive sr_hz"
+            err = _classify_errors(codec, lens, is_null, sr=sr)
 
             bps = np.where(codec == "pcm16", 2, 1).astype(np.int64)
             seg_len = sr * seg_ms // 1000

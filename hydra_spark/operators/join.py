@@ -124,7 +124,12 @@ def asof_join(
         "_l",
         F.lit(None).cast(r_type).alias("_r"),
     ).unionByName(
-        r_t.select(
+        # a right row with a NULL timestamp never matches anything
+        # (merge_asof / ASOF JOIN semantics) — dropped here; otherwise
+        # NULLS FIRST ordering would make it an earlier-than-everything
+        # match. NULL-ts LEFT rows sort first for the same reason and so
+        # correctly see no preceding right row (unmatched, kept on left).
+        r_t.where(F.col("_r")["_rts"].isNotNull()).select(
             *on,
             F.col("_r")["_rts"].alias("_t"),
             F.lit(0).alias("_side"),

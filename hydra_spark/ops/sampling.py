@@ -42,8 +42,15 @@ def hex_threshold(frac) -> str:
 
 def _key_hash(key_col: str, salt: str = ""):
     """Lowercase md5 hex of the record key (+optional salt, so distinct
-    uses draw independent hashes from the same key)."""
-    return F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)).cast("binary"))
+    uses draw independent hashes from the same key). NULL keys hash via
+    a fixed sentinel: md5(NULL) is NULL, which would make every split
+    condition NULL and silently route all NULL-key rows to whichever
+    branch happens to be last (dict-order dependent) — NULL keys must
+    instead behave as ONE deterministic key (all land in the same split,
+    survive frac-1 strata), keeping the assignment a pure function of
+    the key."""
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00hydra-null-key\x00"))
+    return F.md5(F.concat(key, F.lit(salt)).cast("binary"))
 
 
 def hash_split(

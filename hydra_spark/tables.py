@@ -264,6 +264,22 @@ class TransactionalTable:
             )
         return self.read(spark, version=max(eligible))
 
+    def _empty_like(self, spark: SparkSession, m: dict) -> DataFrame:
+        """Zero-row DataFrame with the table's real column shape: from
+        data files if the snapshot has any, else from the registered
+        schema. A table with neither has no defined shape — loud error,
+        not a placeholder schema the caller's select would trip over."""
+        files = [p for fl in m["files"].values() for p in fl]
+        if files:
+            return self._read_files(spark, files, m).limit(0)
+        versions = m.get("schema_versions", [])
+        if versions:
+            ddl = ", ".join(f"{f['name']} {f['type']}" for f in versions[-1]["fields"])
+            return spark.createDataFrame([], schema=ddl)
+        raise ValueError(
+            f"table {self.path} has no data files and no registered schema"
+        )
+
     def read_changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -289,17 +305,13 @@ class TransactionalTable:
         files_a = [p for b in changed for p in f_from.get(b, [])]
         files_b = [p for b in changed for p in f_to.get(b, [])]
 
-        def _side(files, m, like=None):
-            if files:
-                return self._read_files(spark, files, m)
-            if like is not None:
-                return like.limit(0)
-            return None
+        def _side(files, m):
+            return self._read_files(spark, files, m) if files else None
 
         a = _side(files_a, m_from)
         b = _side(files_b, m_to)
         if a is None and b is None:  # nothing changed at all
-            empty = self.read(spark).limit(0)
+            empty = self._empty_like(spark, m_to)
             return empty.withColumn("_change_type", F.lit(None).cast("string"))
         if a is None:
             a = b.limit(0)

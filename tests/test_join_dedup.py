@@ -111,3 +111,23 @@ def test_asof_join_name_collision_and_no_tolerance(spark):
     row = out.collect()[0]
     # colliding right column suffixed; no tolerance -> arbitrarily old match
     assert row.v == 1 and row.v_asof == 9
+
+
+def test_asof_join_null_timestamps(spark):
+    """NULL-ts right rows never match; NULL-ts left rows stay unmatched
+    (merge_asof / ASOF JOIN semantics), even without a tolerance."""
+    import datetime as dt
+
+    from hydra_spark.operators.join import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("u", 1, t0), ("u", 2, None)], "user string, lid int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", 7, None)], "user string, rid int, rts timestamp"
+    )
+    got = {r.lid: r.rid for r in asof_join(
+        left, right, on=["user"], left_ts="lts", right_ts="rts"
+    ).collect()}
+    assert got == {1: None, 2: None}

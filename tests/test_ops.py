@@ -479,3 +479,33 @@ def test_stratified_sample_deterministic_and_salted(spark):
         for r in stratified_sample(df, fr, "lang", "doc_id", salt="other").collect()
     }
     assert c != a and all(d in c for d in range(1, 1000, 2))
+
+
+def test_hash_split_null_keys_deterministic(spark):
+    """NULL keys form one deterministic equivalence class: same split
+    regardless of weight dict order; frac-1 strata keep NULL-key rows."""
+    from hydra_spark.ops.sampling import hash_split, stratified_sample
+
+    df = spark.createDataFrame(
+        [(None, "es"), (None, "es"), (1, "es")], "doc_id int, lang string"
+    )
+    w1 = {"train": "0.8", "val": "0.1", "test": "0.1"}
+    w2 = {"test": "0.1", "val": "0.1", "train": "0.8"}
+    s1 = {r.split for r in hash_split(df.where(F.col("doc_id").isNull()), w1, "doc_id").collect()}
+    s2 = {r.split for r in hash_split(df.where(F.col("doc_id").isNull()), w2, "doc_id").collect()}
+    assert len(s1) == 1 and s1 == s2  # one class, order-independent
+    kept = stratified_sample(df, {"es": 1}, "lang", "doc_id").count()
+    assert kept == 3  # keep-100% stratum keeps NULL-key rows too
+
+
+def test_slice_bound_validation(spark):
+    from hydra_spark.functions.resample import resample_clips
+    from hydra_spark.functions.segment import segment_clips
+
+    df = spark.createDataFrame(
+        [], "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    with pytest.raises(ValueError):
+        resample_clips(df, max_slice_bytes=1 << 32)
+    with pytest.raises(ValueError):
+        segment_clips(df, max_slice_bytes=0)

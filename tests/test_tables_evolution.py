@@ -302,3 +302,15 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
     # shares a bucket generation rewrite only if its bucket was touched;
     # either way it must not appear as a change
     assert rows == {"b": (2, 9.0, "update")}
+
+
+def test_read_changes_empty_table_shapes(spark, tmp_path):
+    """No data + registered schema -> empty diff with real columns;
+    no data + no schema -> loud error, never a placeholder schema."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=2)
+    with pytest.raises(ValueError):
+        t.read_changes(spark, 0)
+    t.register_schema(V1)
+    v = t.manifest()["version"]
+    d = t.read_changes(spark, v)
+    assert d.columns == ["k", "v", "_change_type"] and d.count() == 0

@@ -465,6 +465,27 @@ class TransactionalTable:
     def _bucket_col(self):
         return F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
 
+    def apply_changes(self, spark: SparkSession, changes: DataFrame, batch_id) -> bool:
+        """CDC consumer side: apply a ``read_changes``-shaped feed
+        (table columns + ``_change_type`` in insert/update/delete) to
+        THIS table — together with read_changes this gives incremental
+        table replication: reader pays only touched buckets, writer pays
+        one idempotent merge. insert/update rows upsert, delete rows
+        tombstone; idempotent per batch_id like every commit, so a
+        replayed feed segment is a no-op (exactly-once replication)."""
+        allowed = {"insert", "update", "delete"}
+        bad = [
+            r[0]
+            for r in changes.select("_change_type").distinct().collect()
+            if r[0] not in allowed
+        ]
+        if bad:
+            raise ValueError(f"unknown _change_type values: {bad}")
+        batch = changes.withColumn(
+            "_delete", F.col("_change_type") == "delete"
+        ).drop("_change_type")
+        return self.merge_upsert(spark, batch, batch_id)
+
     def merge_upsert(self, spark: SparkSession, batch: DataFrame, batch_id) -> bool:
         """MERGE batch INTO table ON key_cols; idempotent per batch_id.
 

@@ -167,6 +167,24 @@ def clips_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_time_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SpecAugment-style time masking (functions/mask.py):
+    10% of each clip silenced at a position that is a pure function of
+    (clip_id, salt) — md5 -> ascii folding -> modulo, computed in plain
+    SQL expressions shared verbatim with the oracle. Byte-verified in
+    SQL end-to-end: the oracle rebuilds the masked payload by hex-string
+    surgery (prefix || repeat(zero-pattern) || suffix) and compares
+    md5 — the scatter itself is checked, not just the geometry."""
+    from hydra_spark.functions.mask import time_mask
+
+    out = time_mask(_clips(spark), mask_frac="0.1", salt="v1")
+    out = out.where(F.col("mask_error").isNull())
+    return out.select(
+        "clip_id", "n_samples", "mask_start", "mask_len",
+        F.md5(F.hex(F.col("bytes_masked"))).alias("masked_md5"),
+    )
+
+
 def clips_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip spectral centroid + dominant frequency through the
     batched-rfft stage (functions/spectral.py; one 2D FFT per Arrow
@@ -472,6 +490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode-free fixed-window segmentation; segment BYTES verified
         # in SQL via hex-slice md5
         "clips_segment": clips_segment,
+        # deterministic time masking; masked BYTES verified in SQL via
+        # hex surgery (prefix || repeated zero-pattern || suffix)
+        "clips_time_mask": clips_time_mask,
         # batched-rfft spectral features vs the per-row fixture oracle
         "clips_spectral": clips_spectral,
         # content dedup on the audio payload (digest-only shuffle);
@@ -1228,6 +1249,35 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(seg_idx*hop*bps*2 + 1 AS BIGINT),
                                  CAST(seg_len*bps*2 AS BIGINT))) AS seg_md5
             FROM e
+        """,
+        "clips_time_mask": """
+            WITH s AS (
+              SELECT clip_id, codec, bytes,
+                     CASE WHEN codec = 'pcm16' THEN 2 ELSE 1 END AS bps,
+                     CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                          ELSE octet_length(bytes) END AS n
+              FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+              WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
+                AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)),
+            m AS (
+              SELECT *, (n * 1)//10 AS ml,
+                     ascii(substring(md5(clip_id || 'v1'), 1, 1))*16777216
+                     + ascii(substring(md5(clip_id || 'v1'), 2, 1))*65536
+                     + ascii(substring(md5(clip_id || 'v1'), 3, 1))*256
+                     + ascii(substring(md5(clip_id || 'v1'), 4, 1)) AS folded
+              FROM s),
+            p AS (
+              SELECT *, CASE WHEN n - ml + 1 > 0 THEN folded % (n - ml + 1)
+                             ELSE 0 END AS ms
+              FROM m)
+            SELECT clip_id, CAST(n AS INT) AS n_samples,
+                   CAST(ms AS INT) AS mask_start, CAST(ml AS INT) AS mask_len,
+                   md5(substring(hex(bytes), 1, CAST(ms*bps*2 AS BIGINT))
+                       || repeat(CASE WHEN codec = 'pcm16' THEN '0000'
+                                      ELSE '80' END, CAST(ml AS BIGINT))
+                       || substring(hex(bytes),
+                                    CAST((ms + ml)*bps*2 + 1 AS BIGINT))) AS masked_md5
+            FROM p
         """,
         "clips_transcript_normalize": """
             SELECT clip_id,

@@ -1,0 +1,106 @@
+"""Time-mask stage: byte parity against a per-row Python oracle,
+position determinism, salt redraw, zero-length no-op, error rows."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from hydra_spark import audio
+from hydra_spark.functions.mask import _ZERO_BYTE, time_mask
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]
+)
+
+
+def _mk_rows():
+    rng = np.random.default_rng(3)
+    rows = []
+    i = 0
+    for codec in audio.SUPPORTED_CODECS:
+        for n in (0, 5, 9, 1000, 4801):  # incl. mask_len==0 cases (n<10)
+            x = (rng.random(n) * 2 - 1) * 0.9
+            rows.append((f"c{i:03d}", bytearray(audio.encode(x, codec)), 16000, codec))
+            i += 1
+    rows.append(("e-null", None, 16000, "pcm16"))
+    rows.append(("e-odd", bytearray(b"\x01\x02\x03"), 16000, "pcm16"))
+    rows.append(("e-codec", bytearray(b"\x01\x02"), 16000, "mp3"))
+    return rows
+
+
+def _oracle_pos(clip_id, salt, n, ml):
+    h = hashlib.md5((clip_id + salt).encode()).hexdigest()
+    folded = ord(h[0]) * 16777216 + ord(h[1]) * 65536 + ord(h[2]) * 256 + ord(h[3])
+    span = n - ml + 1
+    return folded % span if span > 0 else 0
+
+
+def _oracle_mask(buf, codec, clip_id, salt, frac_num=1, frac_den=10):
+    bps = 2 if codec == "pcm16" else 1
+    n = len(buf) // bps
+    ml = n * frac_num // frac_den
+    ms = _oracle_pos(clip_id, salt, n, ml)
+    out = bytearray(buf)
+    out[ms * bps : (ms + ml) * bps] = bytes([_ZERO_BYTE[codec]]) * (ml * bps)
+    return ms, ml, bytes(out)
+
+
+def test_time_mask_parity(spark):
+    rows = _mk_rows()
+    df = spark.createDataFrame(rows, schema=SCHEMA).repartition(3)
+    got = {r["clip_id"]: r for r in time_mask(df, "0.1", salt="s").collect()}
+    assert len(got) == len(rows)
+    for cid, buf, _, codec in rows:
+        g = got[cid]
+        if cid.startswith("e-"):
+            assert g["mask_error"] is not None and g["bytes_masked"] is None
+            continue
+        ms, ml, expected = _oracle_mask(buf, codec, cid, "s")
+        assert g["mask_error"] is None
+        assert (g["mask_start"], g["mask_len"]) == (ms, ml), cid
+        assert bytes(g["bytes_masked"]) == expected, (cid, codec)
+        if ml == 0:  # short clip: pass-through, byte-identical
+            assert bytes(g["bytes_masked"]) == bytes(buf)
+
+
+def test_time_mask_salt_redraws_position(spark):
+    rows = [r for r in _mk_rows() if not r[0].startswith("e-")]
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    a = {r["clip_id"]: r["mask_start"] for r in time_mask(df, "0.1", salt="a").collect()}
+    b = {r["clip_id"]: r["mask_start"] for r in time_mask(df, "0.1", salt="b").collect()}
+    moved = [c for c in a if a[c] != b[c]]
+    assert moved  # different salt -> different epoch of mask positions
+    # and each salt is itself deterministic across runs/partitionings
+    a2 = {
+        r["clip_id"]: r["mask_start"]
+        for r in time_mask(df.repartition(7), "0.1", salt="a").collect()
+    }
+    assert a2 == a
+
+
+def test_time_mask_validates_frac(spark):
+    df = spark.createDataFrame([], schema=SCHEMA)
+    with pytest.raises(ValueError):
+        time_mask(df, mask_frac="1")
+    with pytest.raises(ValueError):
+        time_mask(df, mask_frac="-0.1")
+
+
+def test_time_mask_silences_energy(spark):
+    """Semantic check: the masked span decodes to (quantizer) silence —
+    rms over the masked region is at/near the codec's zero level."""
+    x = np.ones(4000) * 0.5
+    buf = audio.encode(x, "pcm16")
+    df = spark.createDataFrame([("a", bytearray(buf), 16000, "pcm16")], schema=SCHEMA)
+    g = time_mask(df, "0.25", salt="z").collect()[0]
+    pcm = np.frombuffer(bytes(g["bytes_masked"]), dtype="<i2")
+    s, l = g["mask_start"], g["mask_len"]
+    assert l == 1000 and np.all(pcm[s : s + l] == 0)
+    assert np.all(pcm[: s] != 0) and np.all(pcm[s + l :] != 0)

@@ -77,8 +77,6 @@ def time_mask(
     fr = Fraction(str(mask_frac))
     if not 0 <= fr < 1:
         raise ValueError(f"mask_frac must be in [0, 1), got {mask_frac}")
-    import pyarrow as pa
-
     num, den = fr.numerator, fr.denominator
     bps = F.when(F.col("codec") == "pcm16", F.lit(2)).otherwise(F.lit(1))
     n_samples = (

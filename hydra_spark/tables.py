@@ -473,18 +473,38 @@ class TransactionalTable:
         one idempotent merge. insert/update rows upsert, delete rows
         tombstone; idempotent per batch_id like every commit, so a
         replayed feed segment is a no-op (exactly-once replication)."""
-        allowed = {"insert", "update", "delete"}
-        bad = [
-            r[0]
-            for r in changes.select("_change_type").distinct().collect()
-            if r[0] not in allowed
-        ]
-        if bad:
-            raise ValueError(f"unknown _change_type values: {bad}")
-        batch = changes.withColumn(
-            "_delete", F.col("_change_type") == "delete"
-        ).drop("_change_type")
-        return self.merge_upsert(spark, batch, batch_id)
+        if batch_id in self.committed_batches():
+            return False  # replay short-circuit BEFORE any feed compute
+        # feed must carry every target column — a feed projected to a
+        # subset would otherwise silently replicate NULLs via the merge's
+        # allowMissingColumns union (fresh tables with no data/schema
+        # have no shape to check yet)
+        try:
+            expected = set(self._empty_like(spark, self.manifest()).columns)
+        except ValueError:
+            expected = set()
+        missing = expected - set(changes.columns)
+        if missing:
+            raise ValueError(f"change feed missing target columns: {sorted(missing)}")
+        # persist: the feed is typically a read_changes plan (two snapshot
+        # scans + full-outer join) and is consumed by BOTH the validation
+        # action and the merge — never re-run the upstream plan twice
+        changes = changes.persist()
+        try:
+            allowed = {"insert", "update", "delete"}
+            bad = [
+                r[0]
+                for r in changes.select("_change_type").distinct().collect()
+                if r[0] not in allowed
+            ]
+            if bad:
+                raise ValueError(f"unknown _change_type values: {bad}")
+            batch = changes.withColumn(
+                "_delete", F.col("_change_type") == "delete"
+            ).drop("_change_type")
+            return self.merge_upsert(spark, batch, batch_id)
+        finally:
+            changes.unpersist()
 
     def merge_upsert(self, spark: SparkSession, batch: DataFrame, batch_id) -> bool:
         """MERGE batch INTO table ON key_cols; idempotent per batch_id.

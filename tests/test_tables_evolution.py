@@ -348,3 +348,7 @@ def test_cdc_replication_roundtrip(spark, tmp_path):
     broken = feed2.withColumn("_change_type", F.lit("upsert"))
     with pytest.raises(ValueError):
         dst.apply_changes(spark, broken, "f3")
+    # feed projected to a column subset fails loudly too (it would
+    # otherwise silently replicate NULLs into the value columns)
+    with pytest.raises(ValueError, match="missing target columns"):
+        dst.apply_changes(spark, feed2.select("k", "_change_type"), "f4")

@@ -167,6 +167,22 @@ def clips_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak gain normalization to 0.9 (functions/gain.py) — loudness
+    alignment before featurization. SQL-checkable projection: pcm16 out
+    preserves the sample count, so n_samples/n_bytes_out verify the
+    decode-length dispatch; the gained BYTES are verified byte-for-byte
+    against the shared per-row oracle in tests/test_gain.py."""
+    from hydra_spark.functions.gain import gain_clips
+
+    out = gain_clips(_clips(spark), target_peak=0.9)
+    out = out.where(F.col("gain_error").isNull())
+    return out.select(
+        "clip_id", "codec", "n_samples",
+        (F.col("n_samples") * F.lit(2)).cast("int").alias("n_bytes_out"),
+    )
+
+
 def clips_time_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic SpecAugment-style time masking (functions/mask.py):
     10% of each clip silenced at a position that is a pure function of
@@ -493,6 +509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic time masking; masked BYTES verified in SQL via
         # hex surgery (prefix || repeated zero-pattern || suffix)
         "clips_time_mask": clips_time_mask,
+        # peak gain normalization; accounting oracle-checked, bytes
+        # parity-checked in pytest vs the shared per-row oracle
+        "clips_gain": clips_gain,
         # batched-rfft spectral features vs the per-row fixture oracle
         "clips_spectral": clips_spectral,
         # content dedup on the audio payload (digest-only shuffle);
@@ -1249,6 +1268,16 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(seg_idx*hop*bps*2 + 1 AS BIGINT),
                                  CAST(seg_len*bps*2 AS BIGINT))) AS seg_md5
             FROM e
+        """,
+        "clips_gain": """
+            SELECT clip_id, codec,
+                   CAST(CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                        ELSE octet_length(bytes) END AS INT) AS n_samples,
+                   CAST(2 * (CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                             ELSE octet_length(bytes) END) AS INT) AS n_bytes_out
+            FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+            WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
+              AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)
         """,
         "clips_time_mask": """
             WITH s AS (

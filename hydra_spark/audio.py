@@ -146,6 +146,29 @@ def resample_clip(buf: bytes, codec: str, sr_hz: int, dst_sr: int) -> bytes:
     return encode_pcm16(resample_linear(decode(buf, codec), sr_hz, dst_sr))
 
 
+def gain_linear(x: np.ndarray, target_peak: float) -> np.ndarray:
+    """float32 PCM -> float64 PCM scaled so max|x| == target_peak.
+
+    The single shared definition of the gain stage (functions/gain.py
+    vectorizes exactly this math; parity asserted byte-for-byte in
+    tests): peak in float64, y = x.astype(f64) * (target/peak) — the
+    identical elementwise IEEE ops, so engine/oracle equality is
+    structural. All-silent input passes through unscaled (no 0-division,
+    and "normalizing" digital silence is meaningless)."""
+    if len(x) == 0:
+        return np.empty(0, dtype=np.float64)
+    xd = x.astype(np.float64)
+    peak = float(np.max(np.abs(xd)))
+    if peak == 0.0:
+        return xd
+    return xd * (target_peak / peak)
+
+
+def gain_clip(buf: bytes, codec: str, target_peak: float = 0.9) -> bytes:
+    """Per-row oracle: decode -> gain_linear -> pcm16 bytes."""
+    return encode_pcm16(gain_linear(decode(buf, codec), target_peak))
+
+
 # ---------------------------------------------------------------- spectral
 
 N_FFT = 1024  # analysis window: first N_FFT samples, zero-padded

@@ -1,0 +1,80 @@
+"""Gain stage: byte-for-byte parity of the vectorized engine path
+(functions/gain.py) against the per-row shared-module oracle
+(audio.gain_clip), plus silent passthrough, peak values, error rows,
+and sliced-emission equivalence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from hydra_spark import audio
+from hydra_spark.functions.gain import gain_clips
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]
+)
+
+
+def _mk_rows():
+    rng = np.random.default_rng(9)
+    rows = []
+    i = 0
+    for codec in audio.SUPPORTED_CODECS:
+        for n, amp in ((0, 0.0), (800, 0.2), (4000, 0.95), (2500, 0.0)):
+            x = (rng.random(n) * 2 - 1) * amp  # amp 0 -> digital silence
+            rows.append((f"c{i:03d}", bytearray(audio.encode(x, codec)), 16000, codec))
+            i += 1
+    rows.append(("e-null", None, 16000, "pcm16"))
+    rows.append(("e-odd", bytearray(b"\x01\x02\x03"), 16000, "pcm16"))
+    rows.append(("e-codec", bytearray(b"\x01\x02"), 16000, "mp3"))
+    return rows
+
+
+@pytest.mark.parametrize("target", [0.9, 0.5])
+def test_gain_parity(spark, target):
+    rows = _mk_rows()
+    df = spark.createDataFrame(rows, schema=SCHEMA).repartition(3)
+    got = {r["clip_id"]: r for r in gain_clips(df, target_peak=target).collect()}
+    assert len(got) == len(rows)
+    for cid, buf, _, codec in rows:
+        g = got[cid]
+        if cid.startswith("e-"):
+            assert g["gain_error"] is not None and g["bytes_gain"] is None
+            continue
+        assert g["gain_error"] is None
+        expected = audio.gain_clip(bytes(buf), codec, target)
+        assert bytes(g["bytes_gain"]) == expected, (cid, codec, target)
+        x = audio.decode(bytes(buf), codec)
+        exp_peak = float(np.max(np.abs(x.astype(np.float64)))) if len(x) else 0.0
+        assert g["peak_in"] == exp_peak
+        if len(x) and exp_peak > 0:
+            y = np.frombuffer(bytes(g["bytes_gain"]), dtype="<i2") / 32767.0
+            assert abs(float(np.max(np.abs(y))) - target) < 2e-4  # 1 LSB quantizer
+
+
+def test_gain_sliced_output_matches_single_slice(spark):
+    rows = _mk_rows()
+    df = spark.createDataFrame(rows, schema=SCHEMA).coalesce(1)
+    base = {r["clip_id"]: r for r in gain_clips(df).collect()}
+    sliced = {r["clip_id"]: r for r in gain_clips(df, max_slice_bytes=4096).collect()}
+    assert set(base) == set(sliced)
+    for cid in base:
+        b, s = base[cid], sliced[cid]
+        assert (b["bytes_gain"] is None) == (s["bytes_gain"] is None)
+        if b["bytes_gain"] is not None:
+            assert bytes(b["bytes_gain"]) == bytes(s["bytes_gain"]), cid
+
+
+def test_gain_validates_params(spark):
+    df = spark.createDataFrame([], schema=SCHEMA)
+    with pytest.raises(ValueError):
+        gain_clips(df, target_peak=0.0)
+    with pytest.raises(ValueError):
+        gain_clips(df, target_peak=1.5)
+    with pytest.raises(ValueError):
+        gain_clips(df, max_slice_bytes=1 << 33)

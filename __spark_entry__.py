@@ -183,6 +183,35 @@ def clips_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of clip length per codec — the
+    corpus-profiling aggregation a pipeline runs before choosing
+    segment/window sizes. Spark's exact `percentile` and DuckDB's
+    `quantile_cont` share linear interpolation, so the oracle checks
+    the aggregation surface value-exactly (rounded to 4 decimals for
+    accumulation-order noise). At 10^12 rows the same query swaps in
+    percentile_approx (t-digest) — this row pins the exact semantics."""
+    c = _clips(spark).where(
+        F.col("codec").isin("pcm16", "ulaw", "alaw")
+        & F.col("bytes").isNotNull()
+        & ~((F.col("codec") == "pcm16") & (F.octet_length("bytes") % 2 == 1))
+    )
+    ns = (
+        F.when(F.col("codec") == "pcm16", F.octet_length("bytes") / 2)
+        .otherwise(F.octet_length("bytes"))
+        .cast("long")
+    )
+    return (
+        c.select("codec", ns.alias("ns"))
+        .groupBy("codec")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.round(F.expr("percentile(ns, 0.5)"), 4).alias("p50_samples"),
+            F.round(F.expr("percentile(ns, 0.95)"), 4).alias("p95_samples"),
+        )
+    )
+
+
 def clips_time_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic SpecAugment-style time masking (functions/mask.py):
     10% of each clip silenced at a position that is a pure function of
@@ -512,6 +541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # peak gain normalization; accounting oracle-checked, bytes
         # parity-checked in pytest vs the shared per-row oracle
         "clips_gain": clips_gain,
+        # exact interpolated percentiles per codec (corpus profiling);
+        # Spark percentile == DuckDB quantile_cont interpolation
+        "clips_percentiles": clips_percentiles,
         # batched-rfft spectral features vs the per-row fixture oracle
         "clips_spectral": clips_spectral,
         # content dedup on the audio payload (digest-only shuffle);
@@ -1268,6 +1300,19 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(seg_idx*hop*bps*2 + 1 AS BIGINT),
                                  CAST(seg_len*bps*2 AS BIGINT))) AS seg_md5
             FROM e
+        """,
+        "clips_percentiles": """
+            WITH s AS (
+              SELECT codec,
+                     CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                          ELSE octet_length(bytes) END AS ns
+              FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+              WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
+                AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1))
+            SELECT codec, count(*) AS n_clips,
+                   round(quantile_cont(ns, 0.5), 4) AS p50_samples,
+                   round(quantile_cont(ns, 0.95), 4) AS p95_samples
+            FROM s GROUP BY 1
         """,
         "clips_gain": """
             SELECT clip_id, codec,

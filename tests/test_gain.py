@@ -78,3 +78,58 @@ def test_gain_validates_params(spark):
         gain_clips(df, target_peak=1.5)
     with pytest.raises(ValueError):
         gain_clips(df, max_slice_bytes=1 << 33)
+
+
+def test_gain_and_mask_streaming_match_batch(spark, clips, tmp_path):
+    """gain_clips and time_mask are stateless mapInArrow stages (mask's
+    position columns are pure projections), so both run unchanged in
+    Structured Streaming; streamed output must equal batch byte-for-byte."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hydra_spark.functions.mask import time_mask
+
+    src = os.path.join(str(tmp_path), "src")
+    sub = clips.where(F.col("clip_id").endswith("7")).select(
+        "clip_id", "bytes", "sr_hz", "codec"
+    )
+    sub.repartition(4).write.parquet(src)
+
+    def digest(df):
+        g = gain_clips(df, target_peak=0.9).select(
+            "clip_id", F.md5(F.hex("bytes_gain")).alias("hg")
+        )
+        m = time_mask(df, "0.1", salt="st").select(
+            "clip_id", F.md5(F.hex("bytes_masked")).alias("hm")
+        )
+        return g.join(m, "clip_id")
+
+    batch = {tuple(r) for r in digest(spark.read.parquet(src)).collect()}
+    # streaming: run the two stages as separate sinks (stream-stream
+    # equijoin without watermarks isn't the point here)
+    outs = {}
+    for name, stage in (
+        ("g", lambda d: gain_clips(d, target_peak=0.9).select(
+            "clip_id", F.md5(F.hex("bytes_gain")).alias("h"))),
+        ("m", lambda d: time_mask(d, "0.1", salt="st").select(
+            "clip_id", F.md5(F.hex("bytes_masked")).alias("h"))),
+    ):
+        stream = spark.readStream.schema(sub.schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(src)
+        out_dir = os.path.join(str(tmp_path), f"out_{name}")
+        q = (
+            stage(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(str(tmp_path), f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        outs[name] = {r.clip_id: r.h for r in spark.read.parquet(out_dir).collect()}
+    streamed = {(c, outs["g"][c], outs["m"][c]) for c in outs["g"]}
+    assert streamed == batch and len(batch) > 50
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

@@ -280,6 +280,29 @@ class TransactionalTable:
             f"table {self.path} has no data files and no registered schema"
         )
 
+    def stats(self, version: int | None = None) -> list[dict]:
+        """Per-bucket table statistics — the Iceberg ``files`` /
+        ``partitions`` metadata view: file count, row count, and byte
+        size per bucket, computed from the manifest plus parquet FOOTERS
+        only (never a data scan). This is what compaction and expiry
+        policy consults at 10^12-row scale: a bucket with many small
+        file generations is a rewrite candidate; row counts bound the
+        cost of a read_changes diff before running it."""
+        import pyarrow.parquet as pq
+
+        m = self.manifest() if version is None else self.manifest_at(version)
+        out = []
+        for b, fl in sorted(m["files"].items(), key=lambda kv: int(kv[0])):
+            out.append(
+                {
+                    "bucket": int(b),
+                    "n_files": len(fl),
+                    "n_rows": sum(pq.ParquetFile(p).metadata.num_rows for p in fl),
+                    "n_bytes": sum(os.path.getsize(p) for p in fl),
+                }
+            )
+        return out
+
     def read_changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
     ) -> DataFrame:

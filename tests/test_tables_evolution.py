@@ -352,3 +352,17 @@ def test_cdc_replication_roundtrip(spark, tmp_path):
     # otherwise silently replicate NULLs into the value columns)
     with pytest.raises(ValueError, match="missing target columns"):
         dst.apply_changes(spark, feed2.select("k", "_change_type"), "f4")
+
+
+def test_table_stats_metadata_only(spark, tmp_path):
+    """stats() totals agree with a real read at current AND historical
+    versions, and empty buckets report zero rows/files."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.merge_upsert(spark, _kv_df(spark, [(f"k{i}", i) for i in range(20)]), 0)
+    v1 = t.manifest()["version"]
+    t.merge_upsert(spark, _kv_df(spark, [("k0", 99), ("zz", 1)]), 1)
+    s = t.stats()
+    assert sum(x["n_rows"] for x in s) == t.read(spark).count() == 21
+    assert all(x["n_bytes"] > 0 for x in s if x["n_files"])
+    s1 = t.stats(version=v1)
+    assert sum(x["n_rows"] for x in s1) == 20  # historical snapshot stats

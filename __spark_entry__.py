@@ -389,9 +389,91 @@ def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
 # --------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver certifies the FIRST 50 entries of this
+    # dict (registry order). Rows are therefore ordered by certification
+    # need, not by topic:
+    #   tier A — never driver-certified before round 4 (12 audio/text ops)
+    #   tier B — oracles new in round 4 (indexed-ANN parity, lsh_dup)
+    #   tier C — last certified in round 2 (pushed out of the r3 window)
+    #   tier D — honest rows-only ANN rows (driver records rows-only)
+    #   tier E — ops new in round 4
+    #   tier F — r3-certified rows whose code/oracle changed this round,
+    #            then the r3-certified core; the tail past 50 is all
+    #            PASS(r3) with records in CORRECTNESS_r03.json.
     docs = lambda fn: (lambda spark, sf: fn(A.load(spark, sf, "documents")))
     emb = lambda fn: (lambda spark, sf: fn(A.load(spark, sf, "embeddings")))
     return {
+        # ---- tier A: streaming engine (clips) + text ops, first driver
+        # certification. All oracle-checked against the deterministic
+        # fixture parquet — sample_rollup/audio_stats via byte-derivable
+        # or integer-exact projections, window_rollup via the per-row
+        # expected-features fixture join.
+        # rate-normalization (linear-interp resample to 16 kHz); sample
+        # accounting oracle-checked, bytes parity-checked in pytest
+        "clips_resample": clips_resample,
+        # decode-free fixed-window segmentation; segment BYTES verified
+        # in SQL via hex-slice md5
+        "clips_segment": clips_segment,
+        # peak gain normalization; accounting oracle-checked, bytes
+        # parity-checked in pytest vs the shared per-row oracle
+        "clips_gain": clips_gain,
+        # deterministic time masking; masked BYTES verified in SQL via
+        # hex surgery (prefix || repeated zero-pattern || suffix)
+        "clips_time_mask": clips_time_mask,
+        # batched-rfft spectral features vs the per-row fixture oracle
+        "clips_spectral": clips_spectral,
+        "clips_audio_stats": clips_audio_stats,
+        # content dedup on the audio payload (digest-only shuffle);
+        # streaming form pytest-covered
+        "clips_fingerprint_dedup": clips_fingerprint_dedup,
+        # exact interpolated percentiles per codec (corpus profiling);
+        # Spark percentile == DuckDB quantile_cont interpolation
+        "clips_percentiles": clips_percentiles,
+        "clips_window_rollup": clips_window_rollup,
+        "bpe_token_counts": docs(X.bpe_token_counts),
+        "winnow_fingerprints": docs(X.winnow_fingerprints),
+        # multimodal plumbing (stubbed codec, real Spark plumbing)
+        "media_resize": media_resize,
+        # ---- tier B: oracles new in round 4
+        # bucketed scale path for the same near-dup question as
+        # embedding_cosine_dup (no all-pairs term; bucket equi-join +
+        # exact verify); full-ball probing makes fixture recall 1 so the
+        # output equals the exact oracle (floor pinned in pytest)
+        "embedding_lsh_dup": emb(lambda e: S.lsh_dup(e, threshold=0.4)),
+        # served from the materialized bucket index / inverted file (the
+        # amortized at-scale shapes; build reported separately in bench);
+        # deterministically equal to their on-the-fly siblings, so the
+        # oracle is the sibling's exact-SQL where recall=1 by params
+        "ann_lsh_indexed": ann_lsh_indexed,
+        "ann_ivf_indexed": ann_ivf_indexed,
+        # ---- tier C: re-certification (last driver-checked round 2)
+        # probing every list turns IVF into exact search — verifies the
+        # assign/explode/bucket-join/re-rank machinery against the
+        # brute-force oracle (the pruned form below stays recall-tested)
+        "ann_ivf_fullprobe": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=16, n_lists=16)),
+        # N9 transcript normalization, oracle-checkable form over the
+        # driver's documents table (clips form stays byte-parity-tested)
+        "transcript_normalize_docs": transcript_normalize_docs,
+        "lang_id": docs(X.lang_id),
+        "quality_score": docs(X.quality_score),
+        "token_counts": docs(X.token_counts),
+        "doc_fingerprint": docs(X.fingerprint),
+        "binary_metadata": docs(X.binary_metadata),
+        "media_feature_dims": media_feature_dims,
+        "frame_sample": frame_sample,
+        "clips_sample_rollup": clips_sample_rollup,
+        "clips_transcript_normalize": clips_transcript_normalize,
+        # ---- tier D: honest rows-only (recall<1 is the point; each is
+        # pytest-pinned against an oracle-checked exact sibling)
+        "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
+        "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
+        # ---- tier E: new in round 4 (inserted here as they land)
+        # ---- tier F: r3-certified — code/oracle touched this round first
+        # S3 WebSocket framed protocol (commands + session metadata +
+        # per-frame reports + frame limit) as a window/projection op
+        "socket_ingest_report": A.socket_ingest_report,
+        "defaults_fill_nested": A.defaults_fill_nested,
+        # ---- tier F: r3-certified core (streaming + catalog + dedup)
         # §2.8 windows + watermark CEP (batch-checkable forms)
         "tumbling_window": A.tumbling_window,
         "sliding_window": A.sliding_window,
@@ -399,41 +481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A1 latest-wins dedup / tombstones
         "dedup_latest_wins": A.dedup_latest_wins,
         "tombstone_latest_state": A.tombstone_latest_state,
-        # A2/A3/A4 offset lineage & lag
-        "latest_offsets": A.latest_offsets,
-        "consumer_lag": A.consumer_lag,
-        "groups_inversion": A.groups_inversion,
-        # A3 lag totals
-        "total_lag": A.total_lag,
-        # S5/S7 source ops
-        "bounded_tail": A.bounded_tail,
-        "seek_from_offsets": A.seek_from_offsets,
-        # T9 ISO conversion / T4 defaults / T3 typed conversion
-        "iso_date_convert": A.iso_date_convert,
-        "defaults_fill": A.defaults_fill,
-        "defaults_fill_nested": A.defaults_fill_nested,
-        "json_typed_convert": A.json_typed_convert,
-        # S1/S2/R2 request-table ingest endpoint flow + status report
-        "ingest_report": A.ingest_report,
-        # S3 WebSocket framed protocol (commands + session metadata +
-        # per-frame reports + frame limit) as a window/projection op
-        "socket_ingest_report": A.socket_ingest_report,
         # §2.8 stream-stream interval join (batch form)
         "interval_join": A.interval_join,
         # CEP sequence detection (batch form of the stateful detector)
         "cep_sequence": A.cep_sequence,
-        # T6 key extraction / JsonPath
-        "key_extraction": A.key_extraction,
-        "json_key_extraction": A.json_key_extraction,
-        # K5 admission
-        "size_limit_quarantine": A.size_limit_quarantine,
-        # T5/F5 uuid logical type, T2 nested strict, K6 error taxonomy,
-        # T7 key/value consistency, D2 schema evolution
-        "uuid_validation": A.uuid_validation,
-        "strict_extra_fields": A.strict_extra_fields,
-        "publish_error_codes": A.publish_error_codes,
-        "kv_mismatch_report": A.kv_mismatch_report,
-        "schema_evolution": A.schema_evolution,
         # Iceberg-style snapshot time travel + rollback (D-tier catalog):
         # three table states, each reproduced by the oracle in SQL
         "table_time_travel": A.table_time_travel,
@@ -443,17 +494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as-of join (nearest-earlier match, union+window — no range
         # state); oracle is an independent LATERAL formulation
         "asof_purchase_click": A.asof_purchase_click,
-        # key-stable deterministic splitting/sampling (md5-threshold,
-        # pure projection); membership oracle-checked via sum(doc_id)
-        "doc_hash_split": A.doc_hash_split,
-        "doc_stratified_sample": A.doc_stratified_sample,
-        # §2.9 correlation ids / T10 schema inference
-        "correlation_ids": A.correlation_ids,
-        "json_schema_infer": A.json_schema_infer,
-        # headline joins/aggs
-        "tpch_q1": A.tpch_q1,
-        "tpch_q3": A.tpch_q3,
-        "nation_revenue": A.nation_revenue,
         # training-data: dedup
         "dedup_exact": docs(D.dedup_exact),
         # registered form carries the default-on max_df stop-gram guard
@@ -474,10 +514,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data: similarity
         "embedding_cosine_topk": emb(lambda e: S.cosine_topk(e, list(range(25)), k=3)),
         "embedding_cosine_dup": emb(lambda e: S.cosine_pairs(e, threshold=0.4)),
-        # bucketed scale path for the same near-dup question (no
-        # all-pairs term; precision exact, recall 0.986+ — pytest
-        # oracle vs embedding_cosine_dup in tests/test_ops.py)
-        "embedding_lsh_dup": emb(lambda e: S.lsh_dup(e, threshold=0.4)),
         # near-dup clustering: connected components + canonical (min-id)
         # selection over the exact pair set; oracle is a DuckDB
         # recursive CTE over the same edges
@@ -494,61 +530,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("node").alias("vec_id"), "cluster_id"
             )
         ),
-        "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
-        # same results served from the materialized bucket index (the
-        # amortized at-scale shape; build reported separately in bench)
-        "ann_lsh_indexed": ann_lsh_indexed,
-        "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
-        # same results served from the materialized inverted file
-        # (pytest parity + pruning guard; amortized at-scale shape)
-        "ann_ivf_indexed": ann_ivf_indexed,
-        # probing every list turns IVF into exact search — verifies the
-        # assign/explode/bucket-join/re-rank machinery against the
-        # brute-force oracle (the pruned form above stays recall-tested)
-        "ann_ivf_fullprobe": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=16, n_lists=16)),
-        # N9 transcript normalization, oracle-checkable form over the
-        # driver's documents table (clips form stays byte-parity-tested)
-        "transcript_normalize_docs": transcript_normalize_docs,
-        # training-data: text analysis
-        "lang_id": docs(X.lang_id),
-        "quality_score": docs(X.quality_score),
-        "token_counts": docs(X.token_counts),
-        "bpe_token_counts": docs(X.bpe_token_counts),
-        "winnow_fingerprints": docs(X.winnow_fingerprints),
-        "doc_fingerprint": docs(X.fingerprint),
-        "binary_metadata": docs(X.binary_metadata),
-        # multimodal plumbing (stubbed codec, real Spark plumbing)
-        "media_feature_dims": media_feature_dims,
-        "frame_sample": frame_sample,
-        "media_resize": media_resize,
-        # streaming engine (clips): all oracle-checked against the
-        # deterministic fixture parquet — sample_rollup/audio_stats via
-        # byte-derivable or integer-exact projections, window_rollup via
-        # the per-row expected-features fixture join
-        "clips_sample_rollup": clips_sample_rollup,
-        "clips_window_rollup": clips_window_rollup,
-        "clips_audio_stats": clips_audio_stats,
-        "clips_transcript_normalize": clips_transcript_normalize,
-        # rate-normalization (linear-interp resample to 16 kHz); sample
-        # accounting oracle-checked, bytes parity-checked in pytest
-        "clips_resample": clips_resample,
-        # decode-free fixed-window segmentation; segment BYTES verified
-        # in SQL via hex-slice md5
-        "clips_segment": clips_segment,
-        # deterministic time masking; masked BYTES verified in SQL via
-        # hex surgery (prefix || repeated zero-pattern || suffix)
-        "clips_time_mask": clips_time_mask,
-        # peak gain normalization; accounting oracle-checked, bytes
-        # parity-checked in pytest vs the shared per-row oracle
-        "clips_gain": clips_gain,
-        # exact interpolated percentiles per codec (corpus profiling);
-        # Spark percentile == DuckDB quantile_cont interpolation
-        "clips_percentiles": clips_percentiles,
-        # batched-rfft spectral features vs the per-row fixture oracle
-        "clips_spectral": clips_spectral,
-        # content dedup on the audio payload (digest-only shuffle);
-        # streaming form pytest-covered
-        "clips_fingerprint_dedup": clips_fingerprint_dedup,
+        # ---- past the 50-entry window from here down: all PASS(r3) in
+        # CORRECTNESS_r03.json, unchanged this round.
+        # A2/A3/A4 offset lineage & lag
+        "latest_offsets": A.latest_offsets,
+        "consumer_lag": A.consumer_lag,
+        "groups_inversion": A.groups_inversion,
+        # A3 lag totals
+        "total_lag": A.total_lag,
+        # S5/S7 source ops
+        "bounded_tail": A.bounded_tail,
+        "seek_from_offsets": A.seek_from_offsets,
+        # T9 ISO conversion / T4 defaults / T3 typed conversion
+        "iso_date_convert": A.iso_date_convert,
+        "defaults_fill": A.defaults_fill,
+        "json_typed_convert": A.json_typed_convert,
+        # S1/S2/R2 request-table ingest endpoint flow + status report
+        "ingest_report": A.ingest_report,
+        # T6 key extraction / JsonPath
+        "key_extraction": A.key_extraction,
+        "json_key_extraction": A.json_key_extraction,
+        # K5 admission
+        "size_limit_quarantine": A.size_limit_quarantine,
+        # T5/F5 uuid logical type, T2 nested strict, K6 error taxonomy,
+        # T7 key/value consistency, D2 schema evolution
+        "uuid_validation": A.uuid_validation,
+        "strict_extra_fields": A.strict_extra_fields,
+        "publish_error_codes": A.publish_error_codes,
+        "kv_mismatch_report": A.kv_mismatch_report,
+        "schema_evolution": A.schema_evolution,
+        # key-stable deterministic splitting/sampling (md5-threshold,
+        # pure projection); membership oracle-checked via sum(doc_id)
+        "doc_hash_split": A.doc_hash_split,
+        "doc_stratified_sample": A.doc_stratified_sample,
+        # §2.9 correlation ids / T10 schema inference
+        "correlation_ids": A.correlation_ids,
+        "json_schema_infer": A.json_schema_infer,
+        # headline joins/aggs
+        "tpch_q1": A.tpch_q1,
+        "tpch_q3": A.tpch_q3,
+        "nation_revenue": A.nation_revenue,
     }
 
 

@@ -7,11 +7,15 @@ training-data ops); each callable (spark, sf_dir) -> DataFrame.
 two approximate-ANN ops whose recall<1 is the point (ann_lsh_topk,
 pruned ann_ivf_topk) — each has an exact-probing sibling that IS
 oracle-checked (ann_ivf_fullprobe, embedding_cosine_topk) plus recall
-tests in pytest. The audio rollup (clips_window_rollup) is oracled via
-the fixture's expected-features parquet (per-row float64 decode written
-at synthesis time); minhash_lsh_dup and simhash_dup are
-deterministically equal to their exact oracles by construction
-(bands=64 / pigeonhole chunking).
+tests in pytest. The indexed-ANN rows (ann_lsh_indexed,
+ann_ivf_indexed) are certified via engine-side parity-with-sibling
+queries against an expected-grid oracle; embedding_lsh_dup is held to
+the exact all-pairs oracle (full-ball probing gives candidate recall 1
+on this corpus, precision exact by construction). The audio rollup
+(clips_window_rollup) is oracled via the fixture's expected-features
+parquet (per-row float64 decode written at synthesis time);
+minhash_lsh_dup and simhash_dup are deterministically equal to their
+exact oracles by construction (bands=64 / pigeonhole chunking).
 """
 
 from __future__ import annotations
@@ -329,7 +333,34 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- ANN index
 
-def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_parity(idx: DataFrame, fly: DataFrame) -> DataFrame:
+    """Row-level parity between an indexed ANN result and its on-the-fly
+    sibling, both computed ENGINE-side: full-outer join on
+    (query_id, rank) with per-row neighbor/cosine equality flags. The
+    oracle is the expected parity grid (every registered query × every
+    rank, all flags 1) derived from the embeddings view — any missing,
+    extra, or diverging row on either side flips a flag or the row
+    count and fails the hash. Both sides compute cosine through the
+    same fold, so double equality is exact, not epsilon."""
+    i = idx.select(
+        "query_id", "rank",
+        F.col("neighbor_id").alias("_in"), F.col("cosine").alias("_ic"),
+    )
+    f = fly.select(
+        "query_id", "rank",
+        F.col("neighbor_id").alias("_fn"), F.col("cosine").alias("_fc"),
+    )
+    return i.join(f, ["query_id", "rank"], "full_outer").select(
+        "query_id",
+        "rank",
+        (F.col("_in").isNotNull() & (F.col("_in") == F.col("_fn")))
+        .cast("int").alias("neighbor_eq"),
+        (F.col("_ic").isNotNull() & (F.col("_ic") == F.col("_fc")))
+        .cast("int").alias("cosine_eq"),
+    )
+
+
+def ann_lsh_indexed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k served from the materialized LSH bucket index — the
     deployment shape at scale: the corpus index is written once
     (PARTITIONED BY (band, bv)) and amortized across every query batch,
@@ -340,12 +371,29 @@ def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-asserted parity + partition-pruning plan guard
     (tests/test_ops.py::test_lsh_materialized_index_prunes_partitions).
     The index is keyed by the embeddings file's mtime, so a fixture
-    refresh rebuilds it."""
+    refresh rebuilds it. bench.py times THIS form; the registered
+    ann_lsh_indexed row wraps it in the oracle-checkable parity query."""
     from hydra_spark.ops import similarity as SIM
 
     emb = A.load(spark, sf_dir, "embeddings")
     path = ensure_lsh_index(spark, sf_dir)
     return SIM.lsh_index_topk(spark, path, emb, list(range(25)), k=3)
+
+
+def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified form of the indexed LSH path: per-(query, rank)
+    parity of index-served results vs the on-the-fly sibling (both
+    engine-side, see _ann_parity). The approximate result itself cannot
+    have an exact SQL oracle (recall<1 by construction); what CAN be
+    certified is that serving from the materialized index changes
+    nothing — which is exactly the property the index must hold."""
+    from hydra_spark.ops import similarity as SIM
+
+    emb = A.load(spark, sf_dir, "embeddings")
+    return _ann_parity(
+        ann_lsh_indexed_raw(spark, sf_dir),
+        SIM.lsh_topk(emb, list(range(25)), k=3),
+    )
 
 
 def _ensure_index(sf_dir: str, subdir: str, build) -> str:
@@ -361,7 +409,7 @@ def _ensure_index(sf_dir: str, subdir: str, build) -> str:
     return path
 
 
-def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_indexed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k served from the materialized inverted file (PARTITIONED
     BY list_id, static pruning — same amortized at-scale shape as
     ann_lsh_indexed). Identical results to ann_ivf_topk at the same
@@ -372,6 +420,19 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = A.load(spark, sf_dir, "embeddings")
     path = _ensure_index(sf_dir, "ivf_index", lambda p: SIM.ivf_index_write(emb, p))
     return SIM.ivf_index_topk(spark, path, emb, list(range(25)), k=3, n_probe=6)
+
+
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified form of the indexed IVF path: per-(query, rank)
+    parity of inverted-file results vs the on-the-fly ann_ivf_topk
+    sibling (both engine-side, see _ann_parity)."""
+    from hydra_spark.ops import similarity as SIM
+
+    emb = A.load(spark, sf_dir, "embeddings")
+    return _ann_parity(
+        ann_ivf_indexed_raw(spark, sf_dir),
+        SIM.ivf_topk(emb, list(range(25)), k=3, n_probe=6),
+    )
 
 
 def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1082,6 +1143,36 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, c.v), 6) AS cosine
             FROM b a, b c WHERE a.vec_id < c.vec_id
               AND round(list_cosine_similarity(a.v, c.v), 6) >= 0.4
+        """,
+        # the bucketed scale path is held to the SAME exact oracle as the
+        # all-pairs audit form: full hamming-1-ball probing per band makes
+        # candidate recall 1 on this corpus (verified 59/59 = exact; the
+        # probabilistic floor at cosine 0.4 is pinned >= 0.98 in pytest),
+        # and precision is exact by construction (candidates are verified
+        # with the true cosine before emission)
+        "embedding_lsh_dup": """
+            WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+            SELECT a.vec_id AS v1, c.vec_id AS v2,
+                   round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+            FROM b a, b c WHERE a.vec_id < c.vec_id
+              AND round(list_cosine_similarity(a.v, c.v), 6) >= 0.4
+        """,
+        # indexed-ANN parity oracles: the engine row is the full-outer
+        # (query, rank) diff of index-served vs on-the-fly results; the
+        # oracle is the expected grid — one row per registered query and
+        # rank with both equality flags 1. A dropped/extra/diverging row
+        # on either engine path breaks row count or flags -> hash FAIL.
+        "ann_lsh_indexed": """
+            SELECT vec_id AS query_id, CAST(r.r AS INT) AS rank,
+                   1 AS neighbor_eq, 1 AS cosine_eq
+            FROM embeddings, (SELECT unnest(range(1, 4)) AS r) r
+            WHERE vec_id < 25 AND embedding IS NOT NULL
+        """,
+        "ann_ivf_indexed": """
+            SELECT vec_id AS query_id, CAST(r.r AS INT) AS rank,
+                   1 AS neighbor_eq, 1 AS cosine_eq
+            FROM embeddings, (SELECT unnest(range(1, 4)) AS r) r
+            WHERE vec_id < 25 AND embedding IS NOT NULL
         """,
         "embedding_dup_clusters": """
             WITH RECURSIVE b AS (

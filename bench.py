@@ -144,6 +144,10 @@ def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as E
 
     qs = E.queries()
+    # the registered ann_lsh_indexed row is the oracle-checkable PARITY
+    # query (index vs on-the-fly, both engine-side); the bench line must
+    # time the pure index-serving path, not the parity harness around it
+    qs["ann_lsh_indexed"] = E.ann_lsh_indexed_raw
     # one-time JVM/codegen/scan warmup so the first query's number is the
     # query, not session spin-up; Python workers pre-forked for the same
     # reason (the first pandas-UDF query otherwise pays a 32-process

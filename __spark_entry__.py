@@ -399,12 +399,22 @@ def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ensure_index(sf_dir: str, subdir: str, build) -> str:
     """Build-once cache for a materialized ANN index over sf_dir's
     embeddings table, keyed by the embeddings file's mtime (a fixture
-    refresh rebuilds; stale indexes are never served). Shared by the
-    LSH and IVF indexed paths."""
+    refresh rebuilds; stale indexes are never served). Superseded key
+    dirs for the same sf_dir are deleted on rebuild so the cache holds
+    at most one index per (sf_dir, subdir). Shared by the LSH and IVF
+    indexed paths."""
+    import shutil
+
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
-    path = os.path.join("/root/repo/.data", subdir, key)
+    prefix = os.path.basename(os.path.normpath(sf_dir))
+    key = f"{prefix}_{int(os.path.getmtime(src))}"
+    root = os.path.join("/root/repo/.data", subdir)
+    path = os.path.join(root, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if os.path.isdir(root):
+            for stale in os.listdir(root):
+                if stale.startswith(f"{prefix}_") and stale != key:
+                    shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
         build(path)
     return path
 
@@ -775,7 +785,10 @@ def oracle_sql() -> dict[str, str]:
                     rn > 1000 AS over_limit
                   FROM cls),
             ack AS (SELECT *,
-                    coalesce(last_value(CASE WHEN valid_ack THEN canon_ack END IGNORE NULLS)
+                    -- a set frame past the limit is rejected (400) and must
+                    -- NOT mutate session state (reference terminates the
+                    -- stream at the limit)
+                    coalesce(last_value(CASE WHEN valid_ack AND NOT over_limit THEN canon_ack END IGNORE NULLS)
                       OVER (PARTITION BY conn_id ORDER BY frame_idx
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'NoAck') AS eff_ack,
                     regexp_extract(frame, '^(?:-i (\\w+) )?(.*)$', 1) AS corr0,
@@ -842,17 +855,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN NOT list_contains(json_keys(payload),'arr') THEN 0
                         WHEN json_type(payload,'$.arr') = 'NULL' THEN NULL
                         ELSE CAST(json_array_length(payload,'$.arr') AS BIGINT) END AS arr_n,
+                   -- a NULL array ELEMENT stays null in the engine
+                   -- (defaults._fill_typed), so its .a is NULL and the
+                   -- fold's acc + NULL poisons the whole sum to NULL;
+                   -- mirror that here (list_sum alone would skip NULLs)
                    CASE WHEN NOT list_contains(json_keys(payload),'arr') THEN 0
                         WHEN json_type(payload,'$.arr') = 'NULL' THEN NULL
+                        WHEN len(list_filter(
+                          [json_type(payload,'$.arr['||x||']')
+                           FOR x IN generate_series(0, CAST(json_array_length(payload,'$.arr') AS INT) - 1)],
+                          t -> t IS NULL OR t = 'NULL')) > 0 THEN NULL
                         ELSE CAST(coalesce(list_sum(
                           [coalesce(CAST(json_extract_string(payload,'$.arr['||x||'].a') AS BIGINT), 5)
                            FOR x IN generate_series(0, CAST(json_array_length(payload,'$.arr') AS INT) - 1)]
                         ), 0) AS BIGINT) END AS arr_sum_a,
+                   -- same null-value-poisons-sum rule for map VALUES
                    CASE WHEN list_contains(json_keys(payload),'m') AND json_type(payload,'$.m') != 'NULL'
-                        THEN CAST(coalesce(list_sum(
-                          [coalesce(CAST(json_extract_string(payload,'$.m.'||mk||'.a') AS BIGINT), 9)
-                           FOR mk IN json_keys(payload,'$.m')]
-                        ), 0) AS BIGINT)
+                        THEN CASE WHEN len(list_filter(
+                               [json_type(payload,'$.m.'||mk) FOR mk IN json_keys(payload,'$.m')],
+                               t -> t IS NULL OR t = 'NULL')) > 0 THEN NULL
+                             ELSE CAST(coalesce(list_sum(
+                               [coalesce(CAST(json_extract_string(payload,'$.m.'||mk||'.a') AS BIGINT), 9)
+                                FOR mk IN json_keys(payload,'$.m')]
+                             ), 0) AS BIGINT) END
                    END AS m_sum_a
             FROM p
         """,

@@ -511,6 +511,8 @@ def write_bench_md(pairs: list[dict]) -> None:
 
     def pair_section(idx: int, stream: dict) -> str:
         rl, rh = stream["local_n"], stream["local_4n"]
+        ratio = round(rh["cores"] / rl["cores"], 3)
+        ratio_s = f"{ratio:g}"
         hw = stream["cpu_control"]
         bw = stream.get("bw_control")
         norm = (
@@ -538,10 +540,11 @@ def write_bench_md(pairs: list[dict]) -> None:
 | config | clips in | rows out | wall (s) | busy (s) | sustained clips/sec | incl. startup |
 |---|---|---|---|---|---|---|
 | local[{rl['cores']}]  (N)  | {rl['clips_in']} | {rl['rows_out']} | {rl['wall_s']} | {rl['busy_s']} | {rl['clips_per_sec']} | {rl['clips_per_sec_incl_startup']} |
-| local[{rh['cores']}] (4N) | {rh['clips_in']} | {rh['rows_out']} | {rh['wall_s']} | {rh['busy_s']} | {rh['clips_per_sec']} | {rh['clips_per_sec_incl_startup']} |
+| local[{rh['cores']}] ({ratio_s}N) | {rh['clips_in']} | {rh['rows_out']} | {rh['wall_s']} | {rh['busy_s']} | {rh['clips_per_sec']} | {rh['clips_per_sec_incl_startup']} |
 
-**Scaling efficiency (thr_4N / thr_N) / 4 = {stream['scaling_efficiency']}**
-(target >= 0.8 per BASELINE.json north_rule).
+**Scaling efficiency (thr_{ratio_s}N / thr_N) / {ratio_s} =
+{stream['scaling_efficiency']}** (target >= 0.8 per BASELINE.json
+north_rule).
 State/shuffle partitions pinned to {stream['stream_partitions']} at BOTH levels (a real
 cluster resize keeps the checkpoint's state layout; only executor count
 changes).
@@ -571,6 +574,15 @@ below the best trial's ran during a host-contention episode. If after {ROUNDS} r
 """
 
     sections = "\n".join(pair_section(i, s) for i, s in enumerate(pairs))
+    # describe the pairs ACTUALLY measured (HYDRA_BENCH_PAIRS is
+    # configurable — the prose must match the data, not the default)
+    pair_descs = ", ".join(
+        f"{s['local_n']['cores']}->{s['local_4n']['cores']} at "
+        f"{s['local_n']['clips_in']} clips"
+        + (" (primary gate)" if i == 0 else " (wider-width evidence)")
+        for i, s in enumerate(pairs)
+    )
+    npairs = len(pairs)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — measured north-rule numbers
 
@@ -580,10 +592,8 @@ on the synthesized audio+transcript stream. The two-cluster-size
 criterion is evidenced in-sandbox (driver instruction: "running the
 same job at two parallelism levels (e.g. local[8] and local[32], or N
 and 4N cores)") by the same job / same input / same checkpoint + state
-partition layout at TWO N-vs-4N pairs, each with a same-run
-hardware-ceiling control: the 2->8 pair (primary gate — the control
-shows ~0.97 ceiling there) and the 4->16 pair (wider-width evidence;
-ceiling ~0.82-0.99 depending on the host window).
+partition layout at {npairs} lo-vs-hi core pair(s), each with same-run
+hardware-ceiling controls: {pair_descs}.
 
 {sections}
 ## Measurement protocol
@@ -603,7 +613,8 @@ cross-pair comparisons carry window noise — each pair's RATIO is the
 meaningful number, which is exactly what interleaving protects.
 
 Per-pair input size: each pair's clip count scales with its width
-(480k at lo=2 cores, 960k at lo=4) so the N-level run of every pair
+({", ".join(f"{s['local_n']['clips_in']} at lo={s['local_n']['cores']} cores" for s in pairs)})
+so the N-level run of every pair
 carries the same ~130 s of busy time — the same stream-hours-per-core
 regime, keeping fixed per-trigger costs (driver planning, state-store
 open, final commit) the same small fraction of the measurement at

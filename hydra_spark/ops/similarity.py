@@ -292,7 +292,12 @@ def _check_index_params(path: str, filename: str, asked: dict) -> None:
 
     pf = os.path.join(path, filename)
     if not os.path.exists(pf):
-        return
+        # an index without its params sidecar cannot be validated — it
+        # predates the sidecar contract or was partially written; serving
+        # it silently would defeat the whole fail-fast guarantee
+        raise ValueError(
+            f"index at {path} has no {filename} params sidecar; rebuild the index"
+        )
     with open(pf) as f:
         built = json.load(f)
     if any(built.get(k) != v for k, v in asked.items()):

@@ -91,14 +91,25 @@ def interpret_frames(
     )
 
     # per-connection actor state as a window: last VALID ack set
-    # STRICTLY BEFORE this frame (new value applies to later frames)
+    # STRICTLY BEFORE this frame (new value applies to later frames).
+    # Frames past the max_frames limit are answered 400 AND must not
+    # mutate session state — the reference terminates the stream at the
+    # limit (StreamLimitReachedException, Endpoint.scala:88-95), so a
+    # post-limit set frame never reaches the actor. The contributing
+    # row's position is materialized as _rn below so the state window
+    # can exclude rejected frames.
+    frames = frames.withColumn(
+        "_rn", F.row_number().over(W.partitionBy(conn_col).orderBy(idx_col))
+    )
+    within_limit = F.lit(True) if max_frames is None else (F.col("_rn") <= max_frames)
     w = (
         W.partitionBy(conn_col)
         .orderBy(idx_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     eff_ack = F.coalesce(
-        F.last(F.when(valid_ack, canon_ack), ignorenulls=True).over(w), F.lit("NoAck")
+        F.last(F.when(valid_ack & within_limit, canon_ack), ignorenulls=True).over(w),
+        F.lit("NoAck"),
     )
 
     # ingest frame parts: optional "-i corrId " prefix, rest = payload
@@ -121,11 +132,7 @@ def interpret_frames(
         .when(F.lit(key_path is not None) & key.isNull(), F.lit(f"MissingKey:{key_path}"))
     )
 
-    over_limit = (
-        (F.row_number().over(W.partitionBy(conn_col).orderBy(idx_col)) > max_frames)
-        if max_frames is not None
-        else F.lit(False)
-    )
+    over_limit = ~within_limit
 
     status = (
         F.when(over_limit, 400)

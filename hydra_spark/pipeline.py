@@ -43,15 +43,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hydra_spark import tables as tbl, validation
+from hydra_spark import tables as tbl, transforms, validation
 from hydra_spark.functions.decode import decode_features
-from hydra_spark.functions.text import normalize_transcript
 from hydra_spark.operators import windows as win
 from hydra_spark.operators.join import clip_transcript_join
-from hydra_spark.operators.skew import salted_repartition
 from hydra_spark.sink import ExactlyOnceSink
 from hydra_spark.sources.replay import stream_table
 from hydra_spark.synth import CLIPS_SCHEMA
+from hydra_spark.transforms import window_start_col  # noqa: F401 (public re-export)
 
 WINDOW_SIZE = "10 seconds"
 WATERMARK = "60 seconds"
@@ -76,12 +75,24 @@ def _transcript_schema():
     )
 
 
-def window_start_col(event_col: str = "event_time", size: str = WINDOW_SIZE):
-    """Deterministic tumbling-window floor for the sink key."""
-    secs = int(size.split()[0])
-    return F.timestamp_seconds(
-        (F.unix_timestamp(F.col(event_col)) / secs).cast("long") * secs
-    )
+def pre_join_spec(
+    num_partitions: int = 32,
+    max_bytes: int | None = 4_000_000,
+    salt: bool = True,
+    drop_rejected: bool = True,
+) -> transforms.Spec:
+    """The flagship's stateless pre-join stage chain as a registry spec
+    (the assembly the reference does through its component loader /
+    record-factory lookup — RecordFactory.scala:25-30). Deployments
+    extend or replace stages by name via transforms.register_stage and
+    editing this list; see tests/test_transforms.py for a custom stage
+    spliced into the chain."""
+    spec: transforms.Spec = [("admission", {"max_bytes": max_bytes})]
+    spec.append("drop_rejected" if drop_rejected else "null_rejected_payload")
+    if salt:
+        spec.append(("salt_spread", {"num_partitions": num_partitions}))
+    spec += ["decode", "tag_decode_rejects"]
+    return spec
 
 
 def pre_join_transform(
@@ -113,34 +124,25 @@ def pre_join_transform(
     decode tasks would inherit the dominant-codec skew; the salt spreads
     them. This is the one place the encoded payload crosses a shuffle —
     after decode only ~100 B/row feature rows move.
+
+    Assembled from the transform-stage registry (``pre_join_spec``);
+    stage resolution happens here at build time, execution is still one
+    Catalyst plan.
     """
-    checked = validation.admission_checks(audio, max_bytes=max_bytes)
-    if drop_rejected:
-        checked = checked.where(F.col("reject_reason").isNull())
-    else:
-        checked = checked.withColumn(
-            "bytes", F.when(F.col("reject_reason").isNull(), F.col("bytes"))
-        )
-    spread = salted_repartition(checked, num_partitions, "codec", "sr_hz") if salt else checked
-    decoded = decode_features(spread)
-    return decoded.withColumn(
-        "reject_reason",
-        F.coalesce(
-            F.col("reject_reason"),
-            F.when(
-                F.col("decode_error").isNotNull(),
-                F.concat(F.lit("DecodeError:"), F.col("decode_error")),
-            ),
-        ),
+    spec = pre_join_spec(
+        num_partitions=num_partitions, max_bytes=max_bytes,
+        salt=salt, drop_rejected=drop_rejected,
     )
+    return transforms.build_transform(spec)(audio)
 
 
 def finish_batch(batch_df: DataFrame) -> DataFrame:
     """Per-micro-batch stateless tail: transcript normalize + tumbling
-    window key (the sink's MERGE key is (clip_id, window_start))."""
-    return batch_df.withColumn(
-        "transcript_norm", normalize_transcript(F.col("transcript"))
-    ).withColumn("window_start", window_start_col())
+    window key (the sink's MERGE key is (clip_id, window_start)) —
+    registry-assembled like the pre-join chain."""
+    return transforms.build_transform(
+        ["normalize_transcript", ("window_key", {"size": WINDOW_SIZE})]
+    )(batch_df)
 
 
 def build_tables(root: str) -> dict:

@@ -171,24 +171,25 @@ def dup_clusters(
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # carry the previous label through the update so convergence
+            # is ONE aggregate over the just-checkpointed rows — no
+            # second join-back / extra shuffle per iteration (the
+            # checksum idea from dup_clusters_star)
             new = (
                 labels.join(nbr, labels["node"] == nbr["src"], "left")
                 .select(
                     labels["node"],
+                    labels["label"].alias("_old"),
                     F.least(
                         labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
                     ).alias("label"),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new.withColumnRenamed("label", "_new")
-                .join(labels, "node")
-                .where(F.col("_new") != F.col("label"))
-                .limit(1)
-                .count()
-            )
-            labels = new
+            changed = new.agg(
+                F.sum((F.col("label") != F.col("_old")).cast("long")).alias("c")
+            ).collect()[0]["c"]
+            labels = new.select("node", "label")
             if changed == 0:
                 break
         else:

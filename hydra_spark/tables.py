@@ -164,6 +164,19 @@ class TransactionalTable:
           * additive — every existing field keeps its name+type; new
             fields appended (readers fill ``default``, else NULL)
           * anything else (removal, type change) -> SchemaCompatError
+
+        Deviations from Confluent's BACKWARD level, both conservative
+        (pinned by tests/test_tables_evolution.py::
+        test_compat_level_pinned_to_confluent_backward):
+          * additions WITHOUT an explicit default are accepted — an
+            absent default means nullable-with-NULL-default here (the
+            defaults layer fills NULL), where Confluent requires the
+            default to be spelled out;
+          * field REMOVAL is rejected (Confluent BACKWARD allows it):
+            removal is backward-safe but strands FORWARD readers, and a
+            shared-topic catalog shouldn't let one producer do that;
+          * Avro type promotions (int->long, float->double) are
+            rejected — type equality is exact, no promotion table.
         """
         fields = [dict(f) for f in fields]
         # key fields must exist and be non-nullable, checked here (at

@@ -33,6 +33,45 @@ def test_incompatible_evolution_rejected(tmp_path):
     assert t.schema_version()["id"] == 1  # failed registers leave no version
 
 
+def test_compat_level_pinned_to_confluent_backward(tmp_path):
+    """Pins register_schema to its Confluent-equivalent level. The
+    reference's SchemaRegistry delegates compat checking to the
+    Confluent client at the subject's configured level (default
+    BACKWARD — SchemaRegistry.scala:39-119). This catalog implements
+    BACKWARD with three documented deviations (see the register_schema
+    docstring), each pinned here."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"])
+    t.register_schema([{"name": "k", "type": "string"}, {"name": "v", "type": "bigint"}])
+    # BACKWARD: addition with an explicit default -> new version
+    assert (
+        t.register_schema(
+            [{"name": "k", "type": "string"}, {"name": "v", "type": "bigint"},
+             {"name": "w", "type": "double", "default": 1.5}]
+        ) == 2
+    )
+    # deviation 1: addition WITHOUT a default is also accepted (absent
+    # default == nullable-with-NULL-default; Confluent would reject)
+    assert (
+        t.register_schema(
+            [{"name": "k", "type": "string"}, {"name": "v", "type": "bigint"},
+             {"name": "w", "type": "double", "default": 1.5},
+             {"name": "x", "type": "string"}]
+        ) == 3
+    )
+    # deviation 2: removal is rejected (Confluent BACKWARD allows it)
+    with pytest.raises(SchemaCompatError):
+        t.register_schema([{"name": "k", "type": "string"}])
+    # deviation 3: Avro-legal type promotion (bigint->double would be
+    # long->double promotion) is rejected — type equality is exact
+    with pytest.raises(SchemaCompatError):
+        t.register_schema(
+            [{"name": "k", "type": "string"}, {"name": "v", "type": "double"},
+             {"name": "w", "type": "double", "default": 1.5},
+             {"name": "x", "type": "string"}]
+        )
+    assert t.schema_version()["id"] == 3
+
+
 def test_evolution_read_fills_default(spark, tmp_path):
     t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
     t.register_schema(V1)

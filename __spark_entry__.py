@@ -372,7 +372,15 @@ def ann_lsh_indexed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_ops.py::test_lsh_materialized_index_prunes_partitions).
     The index is keyed by the embeddings file's mtime, so a fixture
     refresh rebuilds it. bench.py times THIS form; the registered
-    ann_lsh_indexed row wraps it in the oracle-checkable parity query."""
+    ann_lsh_indexed row wraps it in the oracle-checkable parity query.
+
+    Crossover (measured via tools/measure_ann_crossover.py): with this
+    fixture's 40-bit/8-band config the index has only 256 partitions,
+    so a 25-query batch probes nearly all of them — indexed/on-the-fly
+    ratio 0.77x/0.73x/1.0x at 2k/50k/500k vectors, index ahead only at
+    small |Q| (1: 2.42 vs 2.68 s at 500k). At scale the win comes from
+    band WIDTH (2^16+ buckets/band -> a batch reads a vanishing corpus
+    fraction), not from this fixture's recall-tuned width 5."""
     from hydra_spark.ops import similarity as SIM
 
     emb = A.load(spark, sf_dir, "embeddings")

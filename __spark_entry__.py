@@ -547,6 +547,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
         "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
         # ---- tier E: new in round 4 (inserted here as they land)
+        # GROUP BY ROLLUP: one Expand + single-shuffle hash agg,
+        # grouping_id disambiguates subtotal levels
+        "lineitem_rollup": A.lineitem_rollup,
+        # explicit-values pivot: no distinct-discovery scan, one hash
+        # agg with map-side partials
+        "events_pivot": A.events_pivot,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -1206,6 +1212,24 @@ def oracle_sql() -> dict[str, str]:
                    1 AS neighbor_eq, 1 AS cosine_eq
             FROM embeddings, (SELECT unnest(range(1, 4)) AS r) r
             WHERE vec_id < 25 AND embedding IS NOT NULL
+        """,
+        "lineitem_rollup": """
+            SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_price,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "events_pivot": """
+            SELECT user_id % 10 AS user_bucket,
+                   round(sum(value) FILTER (event_type = 'click'), 4) AS click,
+                   round(sum(value) FILTER (event_type = 'error'), 4) AS error,
+                   round(sum(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+                   round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
+                   round(sum(value) FILTER (event_type = 'view'), 4) AS view
+            FROM events GROUP BY 1
         """,
         "embedding_dup_clusters": """
             WITH RECURSIVE b AS (

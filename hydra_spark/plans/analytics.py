@@ -464,6 +464,46 @@ def nation_revenue(spark, sf_dir):
     )
 
 
+def lineitem_rollup(spark, sf_dir):
+    """Hierarchical subtotal aggregation — GROUP BY ROLLUP over
+    (returnflag, linestatus) with grouping_id disambiguating subtotal
+    levels (the reporting shape the reference serves through its
+    metadata rollup endpoints). Spark's rollup() compiles to ONE
+    Expand + hash aggregate with map-side partial aggregation — the
+    subtotal levels share a single shuffle, not one job per level; at
+    100 TB the Expand multiplies rows 3x BEFORE partial agg collapses
+    them per task, so the shuffle stays aggregate-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping_id() must be computed WITH the aggregate (it is
+            # an output of the Expand, not of the result projection)
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows")
+    )
+
+
+def events_pivot(spark, sf_dir):
+    """Pivot the event stream into a wide per-user-bucket metrics table
+    (one column per event type). The value list is EXPLICIT: Spark's
+    pivot without values runs an extra distinct job over the full
+    input to discover columns — at 100 TB that is a whole wasted scan,
+    and a high-cardinality pivot column would explode the schema. With
+    pinned values the pivot is one hash aggregate with map-side
+    partials, same cost as a plain groupBy."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+
 # ------------------------------------------- validation depth (T2/T5/T7/K6)
 
 def uuid_validation(spark, sf_dir):

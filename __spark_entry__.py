@@ -553,6 +553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # explicit-values pivot: no distinct-discovery scan, one hash
         # agg with map-side partials
         "events_pivot": A.events_pivot,
+        # CDF as a Structured Streaming SOURCE (manifest-version
+        # offsets, per-changed-bucket partitions, shuffle-free local
+        # diffs); same oracle as the batch table_changes row, so the
+        # driver certifies batch/stream parity of the change feed
+        "table_changes_stream": A.table_changes_stream,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -1111,6 +1116,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "table_changes": """
+            SELECT -o_orderkey - 1 AS o_orderkey, 'insert' AS change_type,
+                   round(o_totalprice, 2) AS price
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, 'update', round(o_totalprice * 2, 2)
+            FROM orders WHERE o_custkey % 3 = 0 AND o_orderkey % 5 <> 0
+            UNION ALL
+            SELECT o_orderkey, 'delete', round(o_totalprice, 2)
+            FROM orders WHERE o_orderkey % 5 = 0
+        """,
+        # shared verbatim with table_changes: the streaming source must
+        # deliver exactly the batch change set
+        "table_changes_stream": """
             SELECT -o_orderkey - 1 AS o_orderkey, 'insert' AS change_type,
                    round(o_totalprice, 2) AS price
             FROM orders WHERE o_orderkey % 7 = 0

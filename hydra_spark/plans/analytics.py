@@ -697,23 +697,20 @@ def table_time_travel(spark, sf_dir):
     )
 
 
-def table_changes(spark, sf_dir):
-    """Change-data-feed read between two snapshots (tables.py
-    read_changes — Delta CDF / Iceberg incremental-scan analog; Hydra
-    analog: consuming a compacted topic's delta instead of re-reading
-    the full state). Commit b1 = all orders; commit b2 = doubled
-    totalprice where custkey%3=0 (update), tombstones where
-    orderkey%5=0 (delete), fresh negative-key copies (-k-1) where orderkey%7=0
-    (insert). read_changes(v1) must emit exactly those rows — the
-    oracle reproduces all three change sets from raw orders in SQL.
-    Bucket pruning (manifest-diff) is pytest-asserted separately."""
+def _changes_fixture(spark, sf_dir, name):
+    """Two-commit change scenario over orders, shared by the batch CDF
+    read (table_changes) and the streaming CDF source
+    (table_changes_stream). Commit b1 = all orders; commit b2 = doubled
+    totalprice where custkey%3=0 (update), tombstones where orderkey%5=0
+    (delete), fresh negative-key copies (-k-1) where orderkey%7=0
+    (insert). Returns (table, v1, root)."""
     import os as _os
     import shutil as _shutil
 
     from hydra_spark.tables import TransactionalTable
 
     root = _os.path.join(
-        "/root/repo/.data/entry", f"table_changes_{_os.path.basename(sf_dir.rstrip('/'))}"
+        "/root/repo/.data/entry", f"{name}_{_os.path.basename(sf_dir.rstrip('/'))}"
     )
     _shutil.rmtree(root, ignore_errors=True)
     t = TransactionalTable(root, ["o_orderkey"], n_buckets=8)
@@ -733,7 +730,51 @@ def table_changes(spark, sf_dir):
         .withColumn("_delete", F.lit(False))
     )
     t.merge_upsert(spark, updates.unionByName(deletes).unionByName(inserts), "b2")
+    return t, v1, root
+
+
+def table_changes(spark, sf_dir):
+    """Change-data-feed read between two snapshots (tables.py
+    read_changes — Delta CDF / Iceberg incremental-scan analog; Hydra
+    analog: consuming a compacted topic's delta instead of re-reading
+    the full state). read_changes(v1) must emit exactly the three
+    change sets of _changes_fixture — the oracle reproduces them from
+    raw orders in SQL. Bucket pruning (manifest-diff) is
+    pytest-asserted separately."""
+    t, v1, _ = _changes_fixture(spark, sf_dir, "table_changes")
     return t.read_changes(spark, v1).select(
+        "o_orderkey",
+        F.col("_change_type").alias("change_type"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
+def table_changes_stream(spark, sf_dir):
+    """The SAME change scenario consumed through the hydra_cdf
+    STREAMING source (sources/cdf_stream.py: manifest-version offsets,
+    one input partition per changed bucket, per-bucket local diff — no
+    shuffle). The stream runs bounded here (processAllAvailable) and
+    the collected micro-batch rows are returned as a DataFrame holding
+    exactly what a continuous consumer would have received — the
+    oracle is shared verbatim with the batch table_changes row, so the
+    driver certifies batch/stream parity of the change feed."""
+    import os as _os
+
+    from hydra_spark.sources.cdf_stream import stream_changes
+
+    t, v1, root = _changes_fixture(spark, sf_dir, "table_changes_stream")
+    rows = []
+    q = (
+        stream_changes(spark, t.path, starting_version=v1)
+        .writeStream.foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
+        .option("checkpointLocation", _os.path.join(root, "_cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double, _change_type string"
+    ).select(
         "o_orderkey",
         F.col("_change_type").alias("change_type"),
         F.round("o_totalprice", 2).alias("price"),

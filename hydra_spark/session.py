@@ -51,6 +51,15 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     _set_allocator_env()
+    # Python workers must be able to import the engine package: classes
+    # pickled BY REFERENCE (e.g. the hydra_cdf streaming DataSource)
+    # resolve through the worker's import path, not cloudpickle. Export
+    # before the JVM/daemon starts; on a real cluster the package ships
+    # via --py-files / the image and this is a no-op.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + (os.pathsep + pp if pp else "")
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:

@@ -187,6 +187,25 @@ def clips_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec transcode to ulaw (functions/transcode.py) — storage-side
+    normalization of a mixed-codec corpus. SQL-checkable projection:
+    per-codec sample accounting + ACTUAL emitted output length (ulaw =
+    1 byte/sample), and for rows already in the target codec the
+    pass-through bytes are verified value-exactly via md5(hex(bytes));
+    re-encoded BYTES are verified per-row against the shared oracle
+    audio.transcode_clip in tests/test_transcode.py."""
+    from hydra_spark.functions.transcode import transcode_clips
+
+    out = transcode_clips(_clips(spark), to_codec="ulaw")
+    out = out.where(F.col("tc_error").isNull())
+    return out.select(
+        "clip_id", "codec", "n_samples",
+        F.octet_length("bytes_tc").cast("int").alias("n_bytes_out"),
+        F.when(F.col("codec") == "ulaw", F.md5(F.hex("bytes_tc"))).alias("passthrough_md5"),
+    )
+
+
 def clips_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of clip length per codec — the
     corpus-profiling aggregation a pipeline runs before choosing
@@ -558,6 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diffs); same oracle as the batch table_changes row, so the
         # driver certifies batch/stream parity of the change feed
         "table_changes_stream": A.table_changes_stream,
+        # codec transcode (mixed-codec corpus -> ulaw): accounting +
+        # pass-through md5 in SQL, re-encoded bytes pytest-pinned
+        "clips_transcode": clips_transcode,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -1500,6 +1522,17 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(ns, 0.5), 4) AS p50_samples,
                    round(quantile_cont(ns, 0.95), 4) AS p95_samples
             FROM s GROUP BY 1
+        """,
+        "clips_transcode": """
+            SELECT clip_id, codec,
+                   CAST(CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                        ELSE octet_length(bytes) END AS INT) AS n_samples,
+                   CAST(CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                        ELSE octet_length(bytes) END AS INT) AS n_bytes_out,
+                   CASE WHEN codec = 'ulaw' THEN md5(hex(bytes)) END AS passthrough_md5
+            FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+            WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
+              AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)
         """,
         "clips_gain": """
             SELECT clip_id, codec,

@@ -169,6 +169,16 @@ def gain_clip(buf: bytes, codec: str, target_peak: float = 0.9) -> bytes:
     return encode_pcm16(gain_linear(decode(buf, codec), target_peak))
 
 
+def transcode_clip(buf: bytes, codec: str, to_codec: str) -> bytes:
+    """Per-row oracle: decode -> encode(to_codec); same-codec rows pass
+    through VERBATIM (a re-encode round trip is not the identity —
+    pcm16 encode truncates and G.711 re-companding re-quantizes — so
+    the stage never touches already-target bytes)."""
+    if codec == to_codec:
+        return bytes(buf)
+    return encode(decode(buf, codec), to_codec)
+
+
 # ---------------------------------------------------------------- spectral
 
 N_FFT = 1024  # analysis window: first N_FFT samples, zero-padded

@@ -36,10 +36,22 @@ _LN_A = 1.0 + np.log(_A)
 
 # ---------------------------------------------------------------- encode
 
+def quantize_pcm16(x: np.ndarray) -> np.ndarray:
+    """float [-1,1] -> int16 samples ('<i2'). THE pcm16 quantizer —
+    encode_pcm16 and the vectorized transcode stage both call this, so
+    a change here can never diverge the two paths."""
+    return (np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2")
+
+
+def quantize_g711(y: np.ndarray) -> np.ndarray:
+    """compressed [-1,1] -> companded uint8 bytes. THE G.711 quantizer
+    (shared by encode_ulaw/encode_alaw and the transcode stage)."""
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
 def encode_pcm16(x: np.ndarray) -> bytes:
     """float32 [-1,1] -> little-endian int16 bytes."""
-    x = np.clip(x, -1.0, 1.0)
-    return (x * 32767.0).astype("<i2").tobytes()
+    return quantize_pcm16(x).tobytes()
 
 
 def _ulaw_compress(x: np.ndarray) -> np.ndarray:
@@ -55,13 +67,11 @@ def _alaw_compress(x: np.ndarray) -> np.ndarray:
 
 
 def encode_ulaw(x: np.ndarray) -> bytes:
-    y = _ulaw_compress(x)  # [-1,1]
-    return np.round((y + 1.0) * 127.5).astype(np.uint8).tobytes()
+    return quantize_g711(_ulaw_compress(x)).tobytes()
 
 
 def encode_alaw(x: np.ndarray) -> bytes:
-    y = _alaw_compress(x)
-    return np.round((y + 1.0) * 127.5).astype(np.uint8).tobytes()
+    return quantize_g711(_alaw_compress(x)).tobytes()
 
 
 def encode(x: np.ndarray, codec: str) -> bytes:

@@ -53,14 +53,14 @@ OUT_FIELDS = [
 def _encode_batch(x: np.ndarray, to_codec: str) -> np.ndarray:
     """Vectorized shared-definition encode: float32 [-1,1] samples ->
     byte array of the target codec (uint8 view for G.711, int16-LE view
-    for pcm16). Elementwise-identical to audio.encode per row."""
+    for pcm16). Compress AND quantize are the audio module's own
+    functions (not copies), so per-row/vectorized divergence is
+    structurally impossible."""
     if to_codec == "pcm16":
-        return (np.clip(x, -1.0, 1.0) * np.float32(32767.0)).astype("<i2")
+        return audio.quantize_pcm16(x)
     if to_codec == "ulaw":
-        y = audio._ulaw_compress(x)
-    else:
-        y = audio._alaw_compress(x)
-    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+        return audio.quantize_g711(audio._ulaw_compress(x))
+    return audio.quantize_g711(audio._alaw_compress(x))
 
 
 def transcode_clips(

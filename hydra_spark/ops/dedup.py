@@ -187,7 +187,12 @@ def dup_clusters(
                 .localCheckpoint()
             )
             changed = new.agg(
-                F.sum((F.col("label") != F.col("_old")).cast("long")).alias("c")
+                # sum over ZERO rows is NULL — coalesce so an empty pair
+                # set converges immediately instead of exhausting
+                # max_iters
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("_old")).cast("long")), F.lit(0)
+                ).alias("c")
             ).collect()[0]["c"]
             labels = new.select("node", "label")
             if changed == 0:

@@ -50,9 +50,11 @@ from hydra_spark.operators.join import clip_transcript_join
 from hydra_spark.sink import ExactlyOnceSink
 from hydra_spark.sources.replay import stream_table
 from hydra_spark.synth import CLIPS_SCHEMA
-from hydra_spark.transforms import window_start_col  # noqa: F401 (public re-export)
+from hydra_spark.transforms import (  # noqa: F401 (public re-exports)
+    WINDOW_SIZE,
+    window_start_col,
+)
 
-WINDOW_SIZE = "10 seconds"
 WATERMARK = "60 seconds"
 JOIN_LO, JOIN_HI = "10 seconds", "60 seconds"
 

@@ -56,6 +56,25 @@ _PA_TO_DDL = {
 }
 
 
+def _pa_type_to_ddl(t) -> str:
+    """pyarrow type -> Spark DDL, recursing through nested types (a bare
+    str() of a list type is 'list<item: float>', which DDL rejects)."""
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_pa_type_to_ddl(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(f"{f.name}: {_pa_type_to_ddl(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{_pa_type_to_ddl(t.key_type)}, {_pa_type_to_ddl(t.item_type)}>"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision}, {t.scale})"
+    return _PA_TO_DDL.get(str(t), str(t))
+
+
 def _manifest_at(path: str, version: int) -> dict:
     mp = os.path.join(path, "manifests", f"v{version}.json")
     if not os.path.exists(mp):
@@ -90,7 +109,7 @@ def _table_fields(path: str, m: dict) -> list[dict]:
         )
     sch = pq.ParquetFile(files[0]).schema_arrow
     return [
-        {"name": n, "type": _PA_TO_DDL.get(str(t), str(t))}
+        {"name": n, "type": _pa_type_to_ddl(t)}
         for n, t in zip(sch.names, sch.types)
         if not n.startswith("_")
     ]
@@ -139,7 +158,7 @@ class CdfStreamReader(DataSourceStreamReader):
         return out or [CdfPartition([], [], self.key_cols, self.fields)]
 
     def read(self, partition: CdfPartition):
-        import numpy as np  # noqa: F401  (pandas dep, keeps import local)
+        import numpy as np
         import pandas as pd
         import pyarrow.parquet as pq
 
@@ -163,6 +182,21 @@ class CdfStreamReader(DataSourceStreamReader):
         old, new = _load(partition.files_old), _load(partition.files_new)
         keys = partition.key_cols
         vals = [c for c in names if c not in keys]
+
+        def _eq(a, b) -> bool:
+            """Null-safe value equality covering the nested types pyarrow
+            hands back as numpy arrays / lists (a bare ``==`` on those is
+            elementwise and its truth value is ambiguous)."""
+            a_null = a is None or (np.isscalar(a) and pd.isna(a))
+            b_null = b is None or (np.isscalar(b) and pd.isna(b))
+            if a_null or b_null:
+                return a_null and b_null
+            if isinstance(a, (np.ndarray, list, tuple)) or isinstance(
+                b, (np.ndarray, list, tuple)
+            ):
+                return np.array_equal(np.asarray(a), np.asarray(b))
+            return bool(a == b)
+
         j = old.merge(new, on=keys, how="outer", suffixes=("_o", "_n"), indicator=True)
         rows = []
         # dict records, not itertuples: itertuples positionally renames
@@ -173,18 +207,15 @@ class CdfStreamReader(DataSourceStreamReader):
             elif d["_merge"] == "left_only":
                 ct, side = "delete", "_o"  # pre-image values
             else:
-                same = all(
-                    (d[f"{c}_o"] == d[f"{c}_n"])
-                    or (pd.isna(d[f"{c}_o"]) and pd.isna(d[f"{c}_n"]))
-                    for c in vals
-                )
-                if same:
+                if all(_eq(d[f"{c}_o"], d[f"{c}_n"]) for c in vals):
                     continue
                 ct, side = "update", "_n"
             out = []
             for c in names:
                 v = d[c] if c in keys else d[f"{c}{side}"]
-                if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+                if isinstance(v, (np.ndarray, list, tuple)):
+                    out.append([x.item() if hasattr(x, "item") else x for x in v])
+                elif v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
                     out.append(None)
                 elif isinstance(v, pd.Timestamp):
                     out.append(v.to_pydatetime())

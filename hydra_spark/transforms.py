@@ -26,6 +26,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
+# the flagship's tumbling-window size — single definition; pipeline.py
+# imports it, and window_start_col/window_key default to it
+WINDOW_SIZE = "10 seconds"
+
 _REGISTRY: dict[str, Callable[..., DataFrame]] = {}
 
 # spec item: "name" or ("name", {param: value})
@@ -88,7 +92,7 @@ def build_transform(spec: Spec) -> Callable[[DataFrame], DataFrame]:
 # The flagship's stateless stages, registered under stable names so a
 # deployment can re-order / replace / extend them via spec.
 
-def window_start_col(event_col: str = "event_time", size: str = "10 seconds"):
+def window_start_col(event_col: str = "event_time", size: str = WINDOW_SIZE):
     """Deterministic tumbling-window floor for the sink key."""
     secs = int(size.split()[0])
     return F.timestamp_seconds(
@@ -153,5 +157,5 @@ def _normalize_transcript(df: DataFrame) -> DataFrame:
 
 
 @register_stage("window_key")
-def _window_key(df: DataFrame, size: str = "10 seconds") -> DataFrame:
+def _window_key(df: DataFrame, size: str = WINDOW_SIZE) -> DataFrame:
     return df.withColumn("window_start", window_start_col(size=size))

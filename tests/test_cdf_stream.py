@@ -104,6 +104,46 @@ def test_bucket_pruned_partitions(spark, tmp_path):
     assert len(touched) == 1  # k0's bucket only
 
 
+def test_array_typed_value_columns(spark, tmp_path):
+    """Nested (array) value columns diff correctly: pyarrow hands them
+    back as numpy arrays, where a bare == is elementwise — update
+    detection and row emission must stay null-safe and value-exact."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, emb array<float>")
+
+    t.merge_upsert(spark, df([("a", [1.0, 2.0]), ("b", [3.0, 4.0]), ("c", None)]), 0)
+    v1 = t.manifest()["version"]
+    # a changes, b rewritten identical (no row), c stays null (no row),
+    # d inserted with a null array
+    t.merge_upsert(
+        spark,
+        df([("a", [1.0, 9.0]), ("b", [3.0, 4.0]), ("c", None), ("d", None)]),
+        1,
+    )
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(
+            (r.k, list(r.emb) if r.emb is not None else None, r._change_type)
+            for r in batch_df.collect()
+        )
+
+    q = (
+        stream_changes(spark, str(tmp_path / "t"), starting_version=v1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert set((k, tuple(e) if e else None, c) for k, e, c in got) == {
+        ("a", (1.0, 9.0), "update"),
+        ("d", None, "insert"),
+    }
+
+
 def test_expired_cursor_raises(spark, tmp_path):
     """Resuming past an expired snapshot fails LOUDLY (wrapped by Spark
     in StreamingQueryException) instead of silently skipping changes."""

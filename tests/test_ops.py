@@ -141,6 +141,16 @@ def test_dup_clusters_chain_and_unionfind_parity(spark, emb):
     assert got == expected
 
 
+def test_dup_clusters_empty_pairs(spark):
+    """An empty pair set (no near-dups in the corpus) converges to an
+    empty result immediately — the convergence aggregate over zero rows
+    must read as 0 changed, not NULL."""
+    from hydra_spark.ops.dedup import dup_clusters
+
+    empty = spark.createDataFrame([], "v1 long, v2 long")
+    assert dup_clusters(empty).count() == 0
+
+
 def test_dup_clusters_star_parity(spark, emb):
     """Large-star/small-star equals min-label propagation — on a DEEP
     chain (200 nodes, where O(diameter) propagation would need 200

@@ -73,10 +73,12 @@ def main():
     for n in sizes:
         emb = synth_embeddings(spark, n)
         idx_path = os.path.join(ROOT, f"lsh_idx_n{n}")
-        t0 = time.time()
-        if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        if os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+            build_s = "cached"  # don't report a bogus ~0s build time
+        else:
+            t0 = time.time()
             S.lsh_index_write(emb, idx_path)
-        build_s = round(time.time() - t0, 3)
+            build_s = round(time.time() - t0, 3)
         fly = best_of(2, lambda: _force(S.lsh_topk(emb, qids, k=3)))
         served = best_of(
             2, lambda: _force(S.lsh_index_topk(spark, idx_path, emb, qids, k=3))

@@ -572,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # explicit-values pivot: no distinct-discovery scan, one hash
         # agg with map-side partials
         "events_pivot": A.events_pivot,
+        # CUBE: 4 grouping sets, still one Expand + one shuffle
+        "events_cube": A.events_cube,
         # CDF as a Structured Streaming SOURCE (manifest-version
         # offsets, per-changed-bucket partitions, shuffle-free local
         # diffs); same oracle as the batch table_changes row, so the
@@ -625,10 +627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked md5 form above)
         # training-data: similarity
         "embedding_cosine_topk": emb(lambda e: S.cosine_topk(e, list(range(25)), k=3)),
-        "embedding_cosine_dup": emb(lambda e: S.cosine_pairs(e, threshold=0.4)),
         # ---- past the 50-entry window from here down: all PASS(r3) in
-        # CORRECTNESS_r03.json, unchanged this round. (embedding_cosine_dup
-        # above is entry #50, the last certified row.)
+        # CORRECTNESS_r03.json, unchanged this round. (embedding_cosine_topk
+        # above is entry #50, the last certified row; verify with
+        # list(queries())[:50] after ANY registry edit.)
+        "embedding_cosine_dup": emb(lambda e: S.cosine_pairs(e, threshold=0.4)),
         # near-dup clustering: connected components + canonical (min-id)
         # selection over the exact pair set; oracle is a DuckDB
         # recursive CTE over the same edges
@@ -1262,6 +1265,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "events_cube": """
+            WITH e AS (SELECT event_type, user_id % 10 AS user_bucket, value FROM events)
+            SELECT CAST(GROUPING(event_type, user_bucket) AS BIGINT) AS gid,
+                   event_type, user_bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM e GROUP BY CUBE(event_type, user_bucket)
         """,
         "events_pivot": """
             SELECT user_id % 10 AS user_bucket,

@@ -132,6 +132,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "clips_window_rollup",
     "clips_segment",
+    "clips_transcode",
 ]
 
 

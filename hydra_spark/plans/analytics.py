@@ -488,6 +488,26 @@ def lineitem_rollup(spark, sf_dir):
     )
 
 
+def events_cube(spark, sf_dir):
+    """Full cross-dimension subtotals — GROUP BY CUBE over
+    (event_type, user_bucket). Same single-Expand/single-shuffle shape
+    as ROLLUP (4 grouping sets instead of 3); grouping_id labels the
+    level. The Expand's 4x row multiplication collapses in the map-side
+    partial aggregate, so the shuffle stays aggregate-sized at 100 TB."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("gid", "event_type", "user_bucket", "n_events", "sum_value")
+    )
+
+
 def events_pivot(spark, sf_dir):
     """Pivot the event stream into a wide per-user-bucket metrics table
     (one column per event type). The value list is EXPLICIT: Spark's

@@ -70,3 +70,42 @@ def test_transcode_sliced_emission_equivalence(spark):
 def test_transcode_rejects_bad_target():
     with pytest.raises(ValueError, match="unsupported target codec"):
         transcode_clips(None, to_codec="mp3")
+
+
+def test_transcode_streaming_matches_batch(spark, clips, tmp_path):
+    """transcode_clips is a stateless mapInArrow stage, so it runs
+    unchanged in Structured Streaming; streamed output must equal batch
+    byte-for-byte (same parity contract as the gain/mask stages)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(str(tmp_path), "src")
+    sub = clips.where(F.col("clip_id").endswith("3")).select(
+        "clip_id", "bytes", "codec"
+    )
+    sub.repartition(4).write.parquet(src)
+
+    def digest(df):
+        return transcode_clips(df, to_codec="ulaw").select(
+            "clip_id", F.md5(F.hex("bytes_tc")).alias("h")
+        )
+
+    batch = {tuple(r) for r in digest(spark.read.parquet(src)).collect()}
+    stream = spark.readStream.schema(sub.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    out_dir = os.path.join(str(tmp_path), "out")
+    q = (
+        digest(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert streamed == batch and len(batch) > 50
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

@@ -316,6 +316,84 @@ class TransactionalTable:
             )
         return out
 
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files_per_bucket: int = 1,
+        buckets: list[int] | None = None,
+    ) -> dict:
+        """Rewrite multi-file buckets into single files — the Iceberg
+        ``rewrite_data_files`` (binpack) analog, and the consumer of the
+        ``stats()`` metadata view. The streaming fast path
+        (``append_dedup``) adds one file generation per touched bucket
+        per micro-batch by design (no rewrites on the hot path); a
+        sustained stream therefore needs periodic compaction or read
+        amplification grows linearly with stream age. At 10^12-row
+        scale this runs bucket-subset at a time (``buckets=``), driven
+        by ``stats()``.
+
+        Data-identical and snapshot-safe: rows are re-read through the
+        same schema resolution as ``read()`` (declared defaults
+        materialize, explicit NULLs survive — identical to a merge
+        rewrite), ``committed_batches`` is carried unchanged so replay
+        idempotence is unaffected, retained older snapshots keep
+        referencing the old files (``expire_snapshots`` deletes them
+        once unreferenced), and ``read_changes`` across a compaction
+        emits ZERO rows (the file lists differ, the content doesn't).
+
+        Returns {"buckets_compacted", "files_before", "files_after"}.
+        """
+        m = self.manifest()
+        cands = {
+            b: fl
+            for b, fl in m["files"].items()
+            if len(fl) > max_files_per_bucket
+            and (buckets is None or int(b) in set(buckets))
+        }
+        if not cands:
+            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+        files = [p for fl in cands.values() for p in fl]
+        df = self._read_files(spark, files, m).withColumn("_bucket", self._bucket_col())
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.path, "data", f"compact-{commit_id}")
+        (
+            # one task per bucket (repartition on the bucket key), so
+            # each bucket directory receives exactly one file
+            df.repartition(len(cands), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        new_files = {k: list(v) for k, v in m["files"].items()}
+        written = set()
+        for entry in os.listdir(out_dir):
+            if entry.startswith("_bucket="):
+                b = entry.split("=")[1]
+                written.add(b)
+                new_files[b] = [
+                    os.path.join(out_dir, entry, f)
+                    for f in os.listdir(os.path.join(out_dir, entry))
+                    if f.endswith(".parquet")
+                ]
+        for b in cands:
+            if b not in written:  # all-empty generations collapse to none
+                new_files[b] = []
+        self._record_file_schemas(m, new_files)
+        self._write_manifest(
+            {
+                **m,
+                "version": m["version"] + 1,
+                "files": new_files,
+                "committed_batches": m["committed_batches"],
+                "key_cols": self.key_cols,
+            }
+        )
+        return {
+            "buckets_compacted": len(cands),
+            "files_before": len(files),
+            "files_after": sum(len(new_files[b]) for b in cands),
+        }
+
     def read_changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
     ) -> DataFrame:

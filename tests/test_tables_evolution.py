@@ -393,6 +393,39 @@ def test_cdc_replication_roundtrip(spark, tmp_path):
         dst.apply_changes(spark, feed2.select("k", "_change_type"), "f4")
 
 
+def test_compact_data_identical_and_snapshot_safe(spark, tmp_path):
+    """Compaction collapses append_dedup's per-batch file generations
+    without changing content, replay idempotence, retained snapshots,
+    or the change feed."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    for i in range(5):
+        t.append_dedup(
+            spark, _kv_df(spark, [(f"k{j}", j) for j in range(i * 10, i * 10 + 10)]), i
+        )
+    before = {(r.k, r.v) for r in t.read(spark).collect()}
+    v_pre = t.manifest()["version"]
+    files_before = sum(s["n_files"] for s in t.stats())
+    assert files_before > 4  # generations accumulated
+
+    rep = t.compact(spark)
+    assert rep["buckets_compacted"] > 0 and rep["files_after"] <= 4
+    assert all(s["n_files"] <= 1 for s in t.stats())
+    # content identical
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == before
+    # change feed across the compaction is empty (files differ, content not)
+    assert t.read_changes(spark, v_pre).count() == 0
+    # retained pre-compaction snapshot still readable, identical
+    assert {(r.k, r.v) for r in t.read(spark, version=v_pre).collect()} == before
+    # replay idempotence preserved (committed_batches carried)
+    assert t.append_dedup(spark, _kv_df(spark, [("k0", 999)]), 0) is False
+    # fresh commits proceed from the compacted snapshot
+    assert t.append_dedup(spark, _kv_df(spark, [("z", 1)]), 99) is True
+    assert ("z", 1) in {(r.k, r.v) for r in t.read(spark).collect()}
+    # second compact with nothing to do is a no-op
+    t.compact(spark)
+    assert t.compact(spark)["buckets_compacted"] == 0
+
+
 def test_table_stats_metadata_only(spark, tmp_path):
     """stats() totals agree with a real read at current AND historical
     versions, and empty buckets report zero rows/files."""

@@ -636,6 +636,34 @@ atomic commit.
 """)
 
 
+def _append_history(pairs: list[dict]) -> None:
+    """Append one line per pair to BENCH/HISTORY.md — the cross-window
+    record BASELINE.md can't hold (each run rewrites it). Host noise on
+    this box moves identical runs ±50% and has TWO axes (CPU and DRAM
+    bandwidth); a single window's ratio means little without the
+    history of ratios-vs-ceilings around it."""
+    path = "/root/repo/BENCH/HISTORY.md"
+    fresh = not os.path.exists(path)
+    with open(path, "a") as f:
+        if fresh:
+            f.write(
+                "# Bench run history (one line per pair per run; appended "
+                "automatically by bench.py)\n\n"
+                "| when (UTC) | pair | clips | thr_lo | thr_hi | eff | "
+                "cpu ceiling | bw ceiling |\n|---|---|---|---|---|---|---|---|\n"
+            )
+        when = time.strftime("%Y-%m-%d %H:%M", time.gmtime())
+        for p in pairs:
+            rl, rh = p["local_n"], p["local_4n"]
+            f.write(
+                f"| {when} | {rl['cores']}->{rh['cores']} | {rl['clips_in']} "
+                f"| {rl['clips_per_sec']} | {rh['clips_per_sec']} "
+                f"| {p['scaling_efficiency']} "
+                f"| {p['cpu_control']['hw_scaling_efficiency']} "
+                f"| {p.get('bw_control', {}).get('bw_scaling_efficiency', '')} |\n"
+            )
+
+
 def main() -> None:
     from hydra_spark.session import get_spark
 
@@ -660,6 +688,7 @@ def main() -> None:
     if RUN_SCALING:
         pairs = run_scaling(BENCH_N)
         write_bench_md(pairs)
+        _append_history(pairs)
         primary = pairs[0]
         result["streaming"] = {
             "metric": "sustained clips/sec end-to-end (decode+window+join+sink)",

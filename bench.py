@@ -106,6 +106,8 @@ ROUNDS = int(os.environ.get("HYDRA_BENCH_ROUNDS", "3"))
 EXTRA_ROUNDS = int(os.environ.get("HYDRA_BENCH_EXTRA_ROUNDS", "2"))
 EFF_TARGET = float(os.environ.get("HYDRA_BENCH_EFF_TARGET", "0.8"))
 RUN_SCALING = os.environ.get("HYDRA_BENCH_SCALING", "1") != "0"
+# headline suite toggle: pair-only re-runs (window-chasing) skip it
+RUN_HEADLINE = os.environ.get("HYDRA_BENCH_HEADLINE", "1") != "0"
 DATA_ROOT = "/root/repo/.data/bench"
 
 # the headline subset: every engine layer (window/join/state/source),
@@ -636,6 +638,28 @@ atomic commit.
 """)
 
 
+def _save_pair_sidecars(pairs: list[dict]) -> None:
+    """Persist each measured pair to BENCH/pair_<lo>_<hi>.json so a
+    single-pair re-run (chasing a clean host window for one width)
+    updates ONLY its own section of BASELINE.md instead of clobbering
+    the other pair's latest measurement."""
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    for p in pairs:
+        key = f"pair_{p['local_n']['cores']}_{p['local_4n']['cores']}.json"
+        with open(os.path.join("/root/repo/BENCH", key), "w") as f:
+            json.dump(p, f)
+
+
+def _load_pair_sidecars() -> list[dict]:
+    import glob as _glob
+
+    out = []
+    for path in _glob.glob("/root/repo/BENCH/pair_*.json"):
+        with open(path) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda p: p["local_n"]["cores"])
+
+
 def _append_history(pairs: list[dict]) -> None:
     """Append one line per pair to BENCH/HISTORY.md — the cross-window
     record BASELINE.md can't hold (each run rewrites it). Host noise on
@@ -668,9 +692,11 @@ def main() -> None:
     from hydra_spark.session import get_spark
 
     t_all = time.time()
-    spark = get_spark(cores=CPUS, app_name="bench-headline")
-    queries = run_headline(spark)
-    spark.stop()
+    queries: dict[str, float] = {}
+    if RUN_HEADLINE:
+        spark = get_spark(cores=CPUS, app_name="bench-headline")
+        queries = run_headline(spark)
+        spark.stop()
 
     result = {
         "metric": "headline suite wall time (sum of per-query sec, "
@@ -687,7 +713,10 @@ def main() -> None:
 
     if RUN_SCALING:
         pairs = run_scaling(BENCH_N)
-        write_bench_md(pairs)
+        _save_pair_sidecars(pairs)
+        # BASELINE.md always renders the LATEST measurement of every
+        # pair ever run (sidecar-merged); history gets only this run's
+        write_bench_md(_load_pair_sidecars())
         _append_history(pairs)
         primary = pairs[0]
         result["streaming"] = {

@@ -537,7 +537,9 @@ def write_bench_md(pairs: list[dict]) -> None:
             f"| {t.get('ctrl_units_per_sec', '')} | {t.get('ctrl_bw_gbps', '')} |"
             for t in stream.get("trials", [])
         )
-        role = "primary gate" if idx == 0 else "wider-width evidence"
+        # the primary gate is the NARROWEST pair by protocol (2->8), not
+        # whichever happens to be first in a single-pair re-run
+        role = "primary gate" if rl["cores"] == 2 else "wider-width evidence"
         return f"""## Pair {idx + 1}: local[{rl['cores']}] -> local[{rh['cores']}] ({role})
 
 | config | clips in | rows out | wall (s) | busy (s) | sustained clips/sec | incl. startup |
@@ -646,8 +648,11 @@ def _save_pair_sidecars(pairs: list[dict]) -> None:
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     for p in pairs:
         key = f"pair_{p['local_n']['cores']}_{p['local_4n']['cores']}.json"
-        with open(os.path.join("/root/repo/BENCH", key), "w") as f:
-            json.dump(p, f)
+        path = os.path.join("/root/repo/BENCH", key)
+        tmp = path + ".tmp"  # atomic: a kill mid-dump must not leave
+        with open(tmp, "w") as f:  # a truncated sidecar that poisons
+            json.dump(p, f)  # every later run's _load_pair_sidecars
+        os.rename(tmp, path)
 
 
 def _load_pair_sidecars() -> list[dict]:

@@ -101,7 +101,35 @@ class TransactionalTable:
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         if self._current_version() is None:
-            self._write_manifest({"version": 0, "files": {}, "committed_batches": [], "key_cols": self.key_cols})
+            self._write_manifest(
+                {
+                    "version": 0,
+                    "files": {},
+                    "committed_batches": [],
+                    "key_cols": self.key_cols,
+                    "n_buckets": self.n_buckets,
+                }
+            )
+        else:
+            # the physical layout is a property of the TABLE, not of the
+            # handle that opens it: rows already sit in pmod(hash(key),
+            # stored_n) directories, so a handle computing buckets with a
+            # different modulus would route merges/compactions to the
+            # wrong buckets (silent row loss on compact, duplicate keys
+            # on merge). Adopt the stored bucket count; reject a key
+            # mismatch outright.
+            m = self.manifest()
+            stored_keys = m.get("key_cols")
+            if stored_keys and stored_keys != self.key_cols:
+                raise ValueError(
+                    f"table {path} is keyed by {stored_keys}, opened with "
+                    f"{self.key_cols}"
+                )
+            stored_n = m.get("n_buckets")
+            if stored_n is not None:
+                self.n_buckets = int(stored_n)
+            # legacy pre-n_buckets manifests: trust the caller's value
+            # (it is stamped into the next commit's manifest below)
 
     # ---------------------------------------------------------- manifest
     def _current_path(self) -> str:
@@ -148,6 +176,22 @@ class TransactionalTable:
 
     def committed_batches(self) -> set:
         return set(self.manifest()["committed_batches"])
+
+    @staticmethod
+    def _scan_bucket_output(out_dir: str) -> dict[str, list[str]]:
+        """Parquet files per bucket id written by a
+        ``partitionBy('_bucket')`` job — the one place the commit paths
+        (merge_upsert / append_dedup / compact) parse the output layout."""
+        out: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("_bucket="):
+                b = entry.split("=")[1]
+                out[b] = [
+                    os.path.join(out_dir, entry, f)
+                    for f in os.listdir(os.path.join(out_dir, entry))
+                    if f.endswith(".parquet")
+                ]
+        return out
 
     # ------------------------------------------- schema registry (D2)
     def register_schema(self, fields: list[dict]) -> int:
@@ -365,16 +409,8 @@ class TransactionalTable:
             .parquet(out_dir)
         )
         new_files = {k: list(v) for k, v in m["files"].items()}
-        written = set()
-        for entry in os.listdir(out_dir):
-            if entry.startswith("_bucket="):
-                b = entry.split("=")[1]
-                written.add(b)
-                new_files[b] = [
-                    os.path.join(out_dir, entry, f)
-                    for f in os.listdir(os.path.join(out_dir, entry))
-                    if f.endswith(".parquet")
-                ]
+        written = self._scan_bucket_output(out_dir)
+        new_files.update(written)
         for b in cands:
             if b not in written:  # all-empty generations collapse to none
                 new_files[b] = []
@@ -386,6 +422,7 @@ class TransactionalTable:
                 "files": new_files,
                 "committed_batches": m["committed_batches"],
                 "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
             }
         )
         return {
@@ -537,7 +574,11 @@ class TransactionalTable:
     def _read_files(self, spark: SparkSession, files: list[str], m: dict) -> DataFrame:
         versions = m.get("schema_versions", [])
         if not versions:
-            return spark.read.parquet(*files)
+            # no-registry tables can hold files with differing column
+            # sets (unionByName(allowMissingColumns) merges); a sampled
+            # single-file schema would silently drop the other writers'
+            # columns — and compact() would make that loss permanent
+            return spark.read.option("mergeSchema", "true").parquet(*files)
         # evolution-aware read: files are grouped by the schema id they
         # were COMMITTED under (tracked in the manifest); a field absent
         # from a file's schema reads as its declared default, while an
@@ -664,19 +705,11 @@ class TransactionalTable:
             .parquet(out_dir)
         )
         new_files = dict(m["files"])
-        written = set()
-        for entry in os.listdir(out_dir):
-            if entry.startswith("_bucket="):
-                b = int(entry.split("=")[1])
-                written.add(b)
-                new_files[str(b)] = [
-                    os.path.join(out_dir, entry, f)
-                    for f in os.listdir(os.path.join(out_dir, entry))
-                    if f.endswith(".parquet")
-                ]
+        written = self._scan_bucket_output(out_dir)
+        new_files.update(written)
         # buckets that were affected but produced no output (all deleted)
         for b in affected:
-            if int(b) not in written:
+            if str(b) not in written:
                 new_files[str(b)] = []
 
         self._record_file_schemas(m, new_files)
@@ -687,6 +720,7 @@ class TransactionalTable:
                 "files": new_files,
                 "committed_batches": m["committed_batches"] + [batch_id],
                 "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
             }
         )
         return True
@@ -745,15 +779,9 @@ class TransactionalTable:
             if pinned is not None:
                 pinned.unpersist()
         new_files = {k: list(v) for k, v in m["files"].items()}
-        for entry in os.listdir(out_dir):
-            if entry.startswith("_bucket="):
-                b = entry.split("=")[1]
-                new_files.setdefault(b, [])
-                new_files[b] += [
-                    os.path.join(out_dir, entry, f)
-                    for f in os.listdir(os.path.join(out_dir, entry))
-                    if f.endswith(".parquet")
-                ]
+        for b, fl in self._scan_bucket_output(out_dir).items():
+            new_files.setdefault(b, [])
+            new_files[b] += fl
         self._record_file_schemas(m, new_files)
         self._write_manifest(
             {
@@ -762,6 +790,7 @@ class TransactionalTable:
                 "files": new_files,
                 "committed_batches": m["committed_batches"] + [batch_id],
                 "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
             }
         )
         return True

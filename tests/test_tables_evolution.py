@@ -426,6 +426,30 @@ def test_compact_data_identical_and_snapshot_safe(spark, tmp_path):
     assert t.compact(spark)["buckets_compacted"] == 0
 
 
+def test_reopen_adopts_stored_layout(spark, tmp_path):
+    """Bucket count is a property of the TABLE: a handle opened with a
+    different n_buckets must adopt the stored modulus (else compact
+    re-routes rows to wrong buckets = silent loss, and merges duplicate
+    keys across buckets); opening with different key columns is an
+    outright error."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=4)
+    for i in range(3):
+        t.append_dedup(
+            spark, _kv_df(spark, [(f"k{j}", j) for j in range(i * 5, i * 5 + 5)]), i
+        )
+    before = {(r.k, r.v) for r in t.read(spark).collect()}
+    # reopen with the DEFAULT (wrong) bucket count — adopted, not trusted
+    t2 = TransactionalTable(str(tmp_path / "t"), ["k"])
+    assert t2.n_buckets == 4
+    t2.compact(spark)
+    assert {(r.k, r.v) for r in t2.read(spark).collect()} == before
+    assert t2.merge_upsert(spark, _kv_df(spark, [("k0", 100)]), 99) is True
+    after = {(r.k, r.v) for r in t2.read(spark).collect()}
+    assert after == (before - {("k0", 0)}) | {("k0", 100)}
+    with pytest.raises(ValueError, match="keyed by"):
+        TransactionalTable(str(tmp_path / "t"), ["other"])
+
+
 def test_table_stats_metadata_only(spark, tmp_path):
     """stats() totals agree with a real read at current AND historical
     versions, and empty buckets report zero rows/files."""

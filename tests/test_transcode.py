@@ -105,7 +105,7 @@ def test_transcode_streaming_matches_batch(spark, clips, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow trigger did not finish"
     streamed = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert streamed == batch and len(batch) > 50
     shutil.rmtree(str(tmp_path), ignore_errors=True)

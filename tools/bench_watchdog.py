@@ -25,12 +25,14 @@ sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
 
+# thresholds are WIDTH-DEPENDENT: the copy burst saturates DRAM at 16
+# procs (4 procs already move ~70 GB/s; x4 would exceed the ~240 GB/s
+# bus), so even a perfectly healthy host probes ~2.4-2.6x at 4->16 —
+# demanding 3.3x there would wait forever (measured ceilings: HISTORY.md)
 PAIRS = {
-    "2:8:8:480000": (2, 8),
-    "4:16:16:960000": (4, 16),
+    "2:8:8:480000": (2, 8, 3.5, 3.3),
+    "4:16:16:960000": (4, 16, 3.3, 2.3),
 }
-CTRL_MIN = 3.5  # hi/lo work-units ratio for a 4x width step
-BW_MIN = 3.3  # hi/lo copy-GB/s ratio
 
 
 def log(msg: str) -> None:
@@ -49,13 +51,22 @@ def probe(lo: int, hi: int) -> tuple[float, float]:
 def run_pair(spec: str) -> float | None:
     tag = spec.replace(":", "_")
     env = dict(os.environ)
-    env.update({"HYDRA_BENCH_PAIRS": spec, "HYDRA_BENCH_HEADLINE": "0"})
+    env.update({
+        "HYDRA_BENCH_PAIRS": spec,
+        "HYDRA_BENCH_HEADLINE": "0",
+        "HYDRA_BENCH_SCALING": "1",  # never inherit a lingering =0
+    })
     out_path = f"/tmp/bench_wd_{tag}.log"
-    with open(out_path, "a") as out:
-        rc = subprocess.run(
-            [sys.executable, "bench.py"], cwd="/root/repo", env=env,
-            stdout=out, stderr=subprocess.STDOUT, timeout=3600,
-        ).returncode
+    try:
+        with open(out_path, "a") as out:
+            rc = subprocess.run(
+                [sys.executable, "bench.py"], cwd="/root/repo", env=env,
+                stdout=out, stderr=subprocess.STDOUT, timeout=5400,
+            ).returncode
+    except subprocess.TimeoutExpired:
+        # a run stretched by a contention burst; keep chasing windows
+        log(f"pair {spec}: bench timed out after 90 min, child killed")
+        return None
     if rc != 0:
         log(f"pair {spec}: bench exited rc={rc}")
         return None
@@ -66,16 +77,16 @@ def run_pair(spec: str) -> float | None:
                 last = line
     if not last:
         return None
-    return json.loads(last)["streaming"]["scaling_efficiency"]
+    return json.loads(last).get("streaming", {}).get("scaling_efficiency")
 
 
 def main() -> None:
     deadline = time.time() + float(sys.argv[1] if len(sys.argv) > 1 else 3) * 3600
     remaining = dict(PAIRS)
     while remaining and time.time() < deadline:
-        for spec, (lo, hi) in list(remaining.items()):
+        for spec, (lo, hi, ctrl_min, bw_min) in list(remaining.items()):
             ctrl_r, bw_r = probe(lo, hi)
-            clean = ctrl_r >= CTRL_MIN and bw_r >= BW_MIN
+            clean = ctrl_r >= ctrl_min and bw_r >= bw_min
             log(f"pair {spec}: ctrl x{ctrl_r:.2f} bw x{bw_r:.2f} -> "
                 f"{'RUN' if clean else 'wait'}")
             if not clean:

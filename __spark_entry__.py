@@ -304,6 +304,33 @@ def transcript_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", normalize_transcript(F.col("text")).alias("text_norm"))
 
 
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (ops/textstats.py pii_redact) over the documents
+    table. The synthetic corpus contains no PII, so both the engine and
+    the oracle append the SAME deterministic PII suffixes first (email
+    on doc_id%3==0, phone on %4==0, IPv4 on %5==0; some docs get none,
+    some all three) — the redaction+counting logic is what's under
+    test, and the md5 of the redacted text pins every replaced span."""
+    docs = A.load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")))
+            .otherwise(F.lit("")),
+            F.when(d % 4 == 0, F.concat(F.lit(" tel +1-555-"), (d % 10000).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.concat(F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit("."), (d % 100).cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return X.pii_redact(aug).select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
 def clips_transcript_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized transcript normalization (rows-only; byte-parity is
     asserted against the shared-module oracle in pytest)."""
@@ -582,6 +609,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec transcode (mixed-codec corpus -> ulaw): accounting +
         # pass-through md5 in SQL, re-encoded bytes pytest-pinned
         "clips_transcode": clips_transcode,
+        # Iceberg-style file-skipping scan (manifest column bounds prune
+        # whole files; pruning asserted engine-side, answer
+        # residual-filtered so the oracle stays exact)
+        "table_skipping_scan": A.table_skipping_scan,
+        # left-outer interval join: the unmatched-emission (NULL-extend
+        # at watermark expiry) half of the stream-stream join contract
+        "interval_join_outer": A.interval_join_outer,
+        # PII scrubbing (emails/phones/IPv4 -> typed placeholders), pure
+        # JVM regexp codegen; dialect-restricted patterns shared with
+        # the RE2 oracle
+        "pii_redact": pii_redact_docs,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -625,12 +663,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and recall-tested in tests/test_ops.py; not registered — the
         # registry row would be rows-only noise next to the
         # oracle-checked md5 form above)
+        # ---- past the 50-entry window from here down: all PASS(r3) in
+        # CORRECTNESS_r03.json. (simhash_dup above is entry #50, the
+        # last driver-certified row — every tier-E insertion rotates one
+        # stable r3-certified row out of the window; verify with
+        # list(queries())[:50] after ANY registry edit.)
         # training-data: similarity
         "embedding_cosine_topk": emb(lambda e: S.cosine_topk(e, list(range(25)), k=3)),
-        # ---- past the 50-entry window from here down: all PASS(r3) in
-        # CORRECTNESS_r03.json, unchanged this round. (embedding_cosine_topk
-        # above is entry #50, the last certified row; verify with
-        # list(queries())[:50] after ANY registry edit.)
         "embedding_cosine_dup": emb(lambda e: S.cosine_pairs(e, threshold=0.4)),
         # near-dup clustering: connected components + canonical (min-id)
         # selection over the exact pair set; oracle is a DuckDB
@@ -1534,6 +1573,51 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(ns, 0.5), 4) AS p50_samples,
                    round(quantile_cont(ns, 0.95), 4) AS p95_samples
             FROM s GROUP BY 1
+        """,
+        "pii_redact": """
+            WITH aug AS (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+                || CASE WHEN doc_id % 4 = 0
+                        THEN ' tel +1-555-' || (doc_id % 10000) ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' ip 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ELSE '' END
+                AS t
+              FROM documents)
+            SELECT doc_id,
+              len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(t, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}')) AS n_phones,
+              len(regexp_extract_all(t, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ips,
+              md5(regexp_replace(regexp_replace(regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}', '<PHONE>', 'g'),
+                    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+            FROM aug
+        """,
+        "interval_join_outer": """
+            SELECT c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   c.user_id,
+                   p.event_id IS NOT NULL AS matched
+            FROM events c
+            LEFT JOIN events p
+              ON p.event_type = 'purchase'
+             AND p.user_id = c.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+            WHERE c.event_type = 'click'
+        """,
+        "table_skipping_scan": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-21 23:59:59.999999'
+            GROUP BY event_type
         """,
         "clips_transcode": """
             SELECT clip_id, codec,

@@ -161,3 +161,35 @@ def binary_metadata(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.length(payload).alias("n_bytes"),
         F.md5(F.substring(F.col(text_col), 1, 16)).alias("prefix_md5"),
     )
+
+
+# PII patterns: deliberately restricted to the Java-regex ∩ RE2 dialect
+# subset (no backrefs, no lookaround) so the engine (Spark/Java) and the
+# DuckDB oracle (RE2) compile the SAME automaton — the bpe_token_counts
+# tri-dialect lesson applied at design time.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}"
+PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing — the redaction pass every LLM training-data
+    pipeline runs before tokenization: emails, E.164-ish phone numbers,
+    and IPv4 literals replaced by typed placeholders, with per-document
+    match counts for audit sampling. Redaction order is fixed
+    (email -> phone -> ip; the patterns are mutually non-overlapping,
+    so order only matters as a contract). All JVM regexp codegen —
+    zero Python, no shuffle; scales as a pure map over any corpus.
+    Output: input columns + n_emails/n_phones/n_ips + ``<text_col>_redacted``.
+    """
+    c = F.col(text_col)
+    red = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    red = F.regexp_replace(red, PII_IP_RE, "<IP>")
+    return _spread(df, id_col).select(
+        "*",
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_IP_RE), 0)).cast("long").alias("n_ips"),
+        red.alias(f"{text_col}_redacted"),
+    )

@@ -169,6 +169,43 @@ def interval_join(spark, sf_dir):
     return clicks.join(buys, cond, "inner").select("click_id", "purchase_id", "user_id")
 
 
+def interval_join_outer(spark, sf_dir):
+    """LEFT-OUTER interval join — the unmatched-emission half of the
+    stream-stream join contract (operators/join.py
+    clip_transcript_join(how='left_outer'): a clip whose transcript
+    never arrives inside the tolerance is emitted with a NULL
+    transcript once the watermark passes; Hydra analog:
+    IngestionSupervisor timeout marking stragglers IngestorTimeout,
+    ingest/src/main/scala/hydra.ingest/services/IngestionSupervisor.scala:98-120).
+    Batch-checkable form over events: every click row survives; clicks
+    with no purchase by the same user within 30 minutes carry NULL
+    purchase_id. Same equi-key + range shape as the inner row — state
+    pruning semantics identical, only NULL-extension differs."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (clicks["user_id"] == buys["p_user"])
+        & (buys["p_ts"] >= clicks["click_ts"])
+        & (buys["p_ts"] <= clicks["click_ts"] + F.expr("interval 30 minutes"))
+    )
+    return (
+        clicks.join(buys, cond, "left_outer")
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.col("purchase_id").isNotNull().alias("matched"),
+        )
+    )
+
+
 def asof_purchase_click(spark, sf_dir):
     """As-of join (operators/join.py asof_join): each purchase matched
     to the user's LATEST click at or before it, within 30 minutes —
@@ -751,6 +788,57 @@ def _changes_fixture(spark, sf_dir, name):
     )
     t.merge_upsert(spark, updates.unionByName(deletes).unionByName(inserts), "b2")
     return t, v1, root
+
+
+def table_skipping_scan(spark, sf_dir):
+    """Iceberg-style file-skipping scan: manifest column bounds (per-file
+    min/max lifted from parquet footers at COMMIT time — tables.py
+    _file_column_stats / plan_files / read_where) prune whole files from
+    a time-range query without opening them. The fixture appends events
+    in four weekly generations, so each generation's files carry that
+    week's event-time bounds; the week-3 range query must plan to read
+    only generation files whose bounds intersect — asserted engine-side,
+    so a stats regression fails the row loudly instead of silently
+    reading everything. At 10^12 rows this is the difference between a
+    one-day scan and a full-table scan (Hydra analog: S5 offset seek
+    skipping whole log segments — consumer seek path,
+    ingestors/kafka/src/main/scala/hydra/kafka/algebras/ConsumerGroupsAlgebra.scala
+    replay-from-offset semantics). The answer is residual-filtered, so
+    pruning can only remove work, never change the result — the oracle
+    recomputes it from raw events in SQL."""
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+
+    from hydra_spark.tables import TransactionalTable
+
+    root = _os.path.join(
+        "/root/repo/.data/entry", f"skip_scan_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    t = TransactionalTable(root, ["event_id"], n_buckets=8)
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    weeks = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01"]
+    for i in range(4):
+        gen = ev.where((F.col("ts") >= weeks[i]) & (F.col("ts") < weeks[i + 1]))
+        t.append_dedup(spark, gen, f"week{i}")
+    lo = _dt.datetime(2024, 1, 15)
+    hi = _dt.datetime(2024, 1, 21, 23, 59, 59, 999999)
+    kept, total = t.plan_files({"ts": (lo, hi)})
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"file skipping regressed: planned {len(kept)}/{total} files for a "
+            "one-week range over four weekly generations"
+        )
+    return (
+        t.read_where(spark, {"ts": (lo, hi)})
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
 
 
 def table_changes(spark, sf_dir):

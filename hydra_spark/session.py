@@ -88,6 +88,11 @@ def get_spark(
         .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT64 micros, not legacy INT96: INT96 timestamps carry NO
+        # parquet column stats, which blinds manifest-level file
+        # skipping (tables.plan_files) to every time-range predicate —
+        # and Iceberg spec forbids INT96 anyway.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # local FS: driver-side file listing is microseconds; the default
         # threshold (32 paths) launches a 128-task listing job per stream
         # start — pure scheduling overhead here. On object storage with

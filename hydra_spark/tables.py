@@ -79,6 +79,116 @@ def validate_key_fields(key_cols: list[str], fields: list[dict]) -> None:
         )
 
 
+def _file_column_stats(path: str) -> dict:
+    """Per-file column min/max/null-count stats from the parquet FOOTER
+    only (never a data scan) — the Iceberg manifest ``lower_bounds`` /
+    ``upper_bounds`` analog. Collected once at commit time and stored in
+    the table manifest so scan planning at 10^12-row scale never opens a
+    footer (on object storage every footer read is a round trip).
+
+    Top-level scalar columns only: binary payloads (min/max would embed
+    megabytes of audio in the manifest) and nested leaves are skipped —
+    a skipped column simply never prunes. Value encoding is JSON-safe:
+    numbers/strings/bools as-is, timestamps as epoch microseconds
+    (tag ``"t": "ts"``). A column whose every row-group has min/max
+    stats gets an entry; one unreadable row-group drops the column
+    (conservative: no stats -> no skipping, never a wrong skip)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, dict] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:
+                continue
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                dead.add(name)
+                agg.pop(name, None)
+                continue
+            n_vals = st.num_values  # non-null values in this row group
+            n_rows = g.num_rows
+            if n_vals > 0 and not st.has_min_max:
+                dead.add(name)
+                agg.pop(name, None)
+                continue
+            lo, hi, t = None, None, None
+            if n_vals > 0:
+                lo, hi = st.min, st.max
+                if isinstance(lo, bool):
+                    t = "num"
+                    lo, hi = int(lo), int(hi)
+                elif isinstance(lo, (int, float)):
+                    t = "num"
+                elif isinstance(lo, str):
+                    t = "str"
+                elif isinstance(lo, _dt.datetime):
+                    t = "ts"
+                    epoch = _dt.datetime(1970, 1, 1, tzinfo=lo.tzinfo)
+                    lo = int((lo - epoch).total_seconds() * 1_000_000)
+                    hi = int((hi - epoch).total_seconds() * 1_000_000)
+                elif isinstance(lo, _dt.date):
+                    t = "str"
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                else:  # bytes and anything exotic: never prune on it
+                    dead.add(name)
+                    agg.pop(name, None)
+                    continue
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = {"lo": lo, "hi": hi, "nulls": st.null_count, "nrows": n_rows, "t": t}
+            else:
+                if lo is not None:
+                    cur["lo"] = lo if cur["lo"] is None else min(cur["lo"], lo)
+                    cur["hi"] = hi if cur["hi"] is None else max(cur["hi"], hi)
+                    cur["t"] = cur["t"] or t
+                cur["nulls"] += st.null_count
+                cur["nrows"] += n_rows
+    return agg
+
+
+def _coerce_bound(v, t):
+    """Normalize a caller-supplied predicate bound to the manifest's
+    stored representation for comparison (timestamps -> epoch micros)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if t == "ts":
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - epoch).total_seconds() * 1_000_000)
+        return int(v)
+    if t == "str" and isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def _stats_admit(entry: dict | None, lo, hi) -> bool:
+    """True iff the file MIGHT contain a row with value in [lo, hi]
+    (inclusive; None = unbounded). No stats -> admit (conservative).
+    All-null column -> reject: a range predicate never matches NULL."""
+    if entry is None:
+        return True
+    if entry["lo"] is None:  # every row NULL in this file
+        return False
+    t = entry.get("t")
+    lo, hi = _coerce_bound(lo, t), _coerce_bound(hi, t)
+    if hi is not None and entry["lo"] > hi:
+        return False
+    if lo is not None and entry["hi"] < lo:
+        return False
+    return True
+
+
 def _project_to_schema(df: DataFrame, fields: list[dict]) -> DataFrame:
     """Project a file-group DataFrame onto a registered schema: fields
     the group's files lack become their declared default (else NULL);
@@ -158,6 +268,23 @@ class TransactionalTable:
             ) from None
 
     def _write_manifest(self, m: dict) -> None:
+        # scan-planning stats ride every snapshot (Iceberg manifest
+        # bounds): footer stats are read ONCE, when a file first enters
+        # a manifest, then carried forward by path — commit cost is
+        # O(new files), and rollback/compact re-reads footers only for
+        # files absent from the current snapshot.
+        live = {p for fl in m["files"].values() for p in fl}
+        prev: dict = {}
+        cv = self._current_version()
+        if cv is not None:
+            try:
+                prev = self.manifest_at(cv).get("file_stats", {})
+            except SnapshotExpiredError:
+                prev = {}
+        fstats = {p: prev[p] for p in live if p in prev}
+        for p in sorted(live - set(fstats)):
+            fstats[p] = _file_column_stats(p)
+        m["file_stats"] = fstats
         m["committed_at"] = time.time()  # snapshot timestamp (read_as_of)
         v = m["version"]
         mp = os.path.join(self.path, "manifests", f"v{v}.json")
@@ -288,6 +415,56 @@ class TransactionalTable:
             # return empty DF from schema hint if any data ever existed
             return spark.createDataFrame([], schema="dummy string").limit(0)
         return self._read_files(spark, files, m)
+
+    # ------------------------------------------------- scan planning
+    def plan_files(self, predicates: dict, version: int | None = None) -> tuple[list[str], int]:
+        """Iceberg-style scan planning: given range conjuncts
+        ``{col: (lo, hi)}`` (inclusive bounds, ``None`` = unbounded),
+        return ``(files_to_read, total_files)`` using ONLY the
+        manifest's per-file column stats — no file is opened. A file
+        survives iff every conjunct's range intersects its [min, max];
+        files with no stats for a column are kept (conservative), files
+        where the column is all-NULL are skipped (a range predicate
+        never matches NULL)."""
+        for c, (lo, hi) in predicates.items():
+            if lo is None and hi is None:
+                raise ValueError(f"predicate on {c!r} has no bounds")
+        m = self.manifest() if version is None else self.manifest_at(version)
+        fstats = m.get("file_stats", {})
+        files = [p for fl in m["files"].values() for p in fl]
+        kept = [
+            p
+            for p in files
+            if all(
+                _stats_admit(fstats.get(p, {}).get(c), lo, hi)
+                for c, (lo, hi) in predicates.items()
+            )
+        ]
+        return kept, len(files)
+
+    def read_where(
+        self, spark: SparkSession, predicates: dict, version: int | None = None
+    ) -> DataFrame:
+        """File-skipping range scan: semantically identical to
+        ``read().filter(lo <= col <= hi for every conjunct)`` but files
+        whose manifest stats prove no row can match are never opened.
+        The residual filter is still applied exactly, so stats only
+        ever REMOVE work, never change the answer. This is the 10^12-row
+        path for time-range queries over an append-generation table:
+        each append's files carry that batch's event-time bounds, so a
+        one-day window over years of generations touches only that
+        day's files (Iceberg scan planning over manifest bounds;
+        Hydra analog: offset-seek S5 skipping whole segments,
+        ingestors/kafka consumer seek path)."""
+        m = self.manifest() if version is None else self.manifest_at(version)
+        kept, _total = self.plan_files(predicates, version=version)
+        df = self._read_files(spark, kept, m) if kept else self._empty_like(spark, m)
+        for c, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(c) <= F.lit(hi))
+        return df
 
     # ------------------------------------------------- snapshot lifecycle
     def snapshots(self) -> list[dict]:

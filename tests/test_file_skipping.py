@@ -1,0 +1,126 @@
+"""File-skipping scan planning over manifest column stats — the Iceberg
+manifest lower_bounds/upper_bounds analog (scan planning never opens a
+data file; footer stats lifted into the manifest once, at commit time).
+Hydra analog: offset-seek (S5) skipping whole log segments the consumer
+never reads."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hydra_spark.tables import TransactionalTable, _stats_admit
+
+
+def _paths(uris):
+    return {u.removeprefix("file://") for u in uris}
+
+
+def _mk(spark, path, n_batches=4, rows=400):
+    """Append-generation table: batch g holds ts in day g, v in
+    [g*1000, g*1000+rows) — disjoint ranges per generation, so a
+    single-generation predicate must prune the other generations'
+    files."""
+    t = TransactionalTable(str(path), ["k"], n_buckets=4)
+    base = dt.datetime(2025, 3, 1)
+    for g in range(n_batches):
+        df = spark.range(rows).select(
+            (F.col("id") + g * rows).cast("string").alias("k"),
+            (F.col("id") + g * 1000).alias("v"),
+            (
+                F.lit(base + dt.timedelta(days=g))
+                + F.make_dt_interval(secs=F.col("id").cast("double"))
+            ).alias("ts"),
+            F.concat(F.lit(f"s{g}_"), F.col("id").cast("string")).alias("tag"),
+        )
+        assert t.append_dedup(spark, df, f"g{g}")
+    return t
+
+
+def test_numeric_range_prunes_to_one_generation(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    kept, total = t.plan_files({"v": (2000, 2399)})
+    assert total == 16 and len(kept) == 4  # 4 buckets of generation 2 only
+    df = t.read_where(spark, {"v": (2000, 2399)})
+    # plan guard: the physical scan reads exactly the planned files
+    assert _paths(df.inputFiles()) <= set(kept)
+    # answer parity: pruning never changes the result
+    expect = t.read(spark).where(F.col("v").between(2000, 2399))
+    assert sorted(r.k for r in df.collect()) == sorted(r.k for r in expect.collect())
+
+
+def test_timestamp_range_prunes(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    lo = dt.datetime(2025, 3, 2)
+    hi = dt.datetime(2025, 3, 2, 23, 59, 59)
+    kept, total = t.plan_files({"ts": (lo, hi)})
+    assert len(kept) == 4 < total
+    got = t.read_where(spark, {"ts": (lo, hi)}).count()
+    assert got == 400  # full generation 1
+
+
+def test_string_and_conjunct_pruning(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    # string bounds: generation 3's tags all start s3_
+    kept, _ = t.plan_files({"tag": ("s3_", "s3_~")})
+    assert len(kept) == 4
+    # conjunction: v range admits gen 1, tag range admits gen 3 -> empty plan
+    kept, _ = t.plan_files({"v": (1000, 1399), "tag": ("s3_", "s3_~")})
+    assert kept == []
+    df = t.read_where(spark, {"v": (1000, 1399), "tag": ("s3_", "s3_~")})
+    assert df.count() == 0 and "tag" in df.columns  # schema survives empty plan
+
+
+def test_half_open_bounds_and_unknown_column(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    kept, total = t.plan_files({"v": (3000, None)})
+    assert len(kept) == 4
+    assert t.read_where(spark, {"v": (3000, None)}).count() == 400
+    kept, total = t.plan_files({"v": (None, 999)})
+    assert len(kept) == 4
+    # a column with no stats (absent from the files) never prunes
+    kept, total = t.plan_files({"nope": (0, 1)})
+    assert len(kept) == total
+    with pytest.raises(ValueError):
+        t.plan_files({"v": (None, None)})
+
+
+def test_all_null_file_skipped_missing_stats_kept(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=1)
+    t.append_dedup(
+        spark,
+        spark.createDataFrame([Row(k="a", v=None), Row(k="b", v=None)], "k string, v int"),
+        "nulls",
+    )
+    t.append_dedup(
+        spark, spark.createDataFrame([Row(k="c", v=7)], "k string, v int"), "vals"
+    )
+    kept, total = t.plan_files({"v": (0, 100)})
+    assert total == 2 and len(kept) == 1  # all-NULL file provably matches nothing
+    assert t.read_where(spark, {"v": (0, 100)}).count() == 1
+    # conservative semantics unit-pinned: no entry -> admit; all-null -> reject
+    assert _stats_admit(None, 0, 1) is True
+    assert _stats_admit({"lo": None, "hi": None, "t": None}, 0, 1) is False
+
+
+def test_stats_carried_forward_and_survive_compact(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n_batches=2)
+    m1 = t.manifest()
+    files1 = {p for fl in m1["files"].values() for p in fl}
+    assert set(m1["file_stats"]) == files1  # every live file has a stats entry
+    # next commit must carry gen-0/1 stats forward by path (no recompute drift)
+    df = spark.range(10).select(
+        (F.col("id") + 9000).cast("string").alias("k"),
+        (F.col("id") + 9000).alias("v"),
+        F.lit(dt.datetime(2025, 4, 1)).alias("ts"),
+        F.lit("s9_x").alias("tag"),
+    )
+    t.append_dedup(spark, df, "g9")
+    m2 = t.manifest()
+    for p in files1:
+        assert m2["file_stats"][p] == m1["file_stats"][p]
+    # compaction rewrites files; new files get fresh stats, pruning still exact
+    t.compact(spark)
+    kept, total = t.plan_files({"v": (9000, 9009)})
+    assert len(kept) < total or total <= 4
+    assert t.read_where(spark, {"v": (9000, 9009)}).count() == 10

@@ -519,3 +519,20 @@ def test_slice_bound_validation(spark):
         resample_clips(df, max_slice_bytes=1 << 32)
     with pytest.raises(ValueError):
         segment_clips(df, max_slice_bytes=0)
+
+
+def test_pii_redact_counts_and_placeholders(spark):
+    from hydra_spark.ops.textstats import pii_redact
+
+    rows = [
+        (1, "mail a@b.co and c.d+x@e-f.org, call +1-555-0199, host 192.168.1.10"),
+        (2, "no pii here, just 3 numbers 42 and v1.2"),  # v1.2 is not an IPv4
+        (3, "double mail x@y.io x@y.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (2, 1, 1)
+    assert got[1].text_redacted == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP>"
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 0)
+    assert got[2].text_redacted == rows[1][1]  # untouched passthrough
+    assert got[3].n_emails == 2 and got[3].text_redacted == "double mail <EMAIL> <EMAIL>"

@@ -49,14 +49,15 @@ def _clips(spark: SparkSession) -> DataFrame:
     path = os.path.join(root, f"clips_n{_CLIPS_N}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth.write_clips(spark, path, _CLIPS_N, files=8)
-    # _v3: schema grew centroid_hz/dominant_hz (clips_spectral); _v2 grew
+    # _v4: schema grew n_lead_silent/n_trail_silent (clips_silence_trim);
+    # _v3 grew centroid_hz/dominant_hz (clips_spectral); _v2 grew
     # n_zero_cross/n_silent (clips_audio_stats). The
-    # suffix bump invalidates pre-v3 cached fixtures. The path must stay
+    # suffix bump invalidates pre-v4 cached fixtures. The path must stay
     # STABLE (the DuckDB oracle SQL hard-codes it), so staleness is
     # tracked by a source-mtime stamp: regenerating the clips fixture
     # forces the expected features to regenerate too — they can never be
     # joined stale against new clips.
-    fpath = path + "_features_v3"
+    fpath = path + "_features_v4"
     stamp = os.path.join(fpath, "_source_mtime")
     want = str(int(os.path.getmtime(os.path.join(path, "_SUCCESS"))))
     fresh = (
@@ -203,6 +204,32 @@ def clips_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clip_id", "codec", "n_samples",
         F.octet_length("bytes_tc").cast("int").alias("n_bytes_out"),
         F.when(F.col("codec") == "ulaw", F.md5(F.hex("bytes_tc"))).alias("passthrough_md5"),
+    )
+
+
+def clips_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-silence trim (functions/trim.py): decode-decided boundaries,
+    decode-free byte-slice emission. The fixture has natural LEADING
+    silence (44/500 clips) but no trailing silence, so the row pads
+    every clip with 16 encoded-zero samples on BOTH ends (pcm16 0x0000,
+    G.711 quantizer-zero 0x80 — decoded |x| <= SILENCE_EPS), engine and
+    oracle identically: padded lead = 16 + raw lead, trail = 16 + raw
+    trail, and the trimmed payload md5 is reproduced by the oracle via
+    hex-string slicing against the v4 features table's independently
+    computed (float64 per-row path) n_lead_silent/n_trail_silent."""
+    from hydra_spark.functions.trim import trim_silence
+
+    c = _clips(spark)
+    pad = F.when(F.col("codec") == "pcm16", F.lit(bytes(32))).otherwise(
+        F.lit(b"\x80" * 16)
+    )
+    padded = c.select(
+        "clip_id", "codec", "sr_hz", F.concat(pad, F.col("bytes"), pad).alias("bytes")
+    )
+    out = trim_silence(padded).where(F.col("trim_error").isNull())
+    return out.select(
+        "clip_id", "codec", "n_samples", "n_lead", "n_trail", "n_samples_out",
+        F.md5(F.hex(F.col("bytes_trim"))).alias("trim_md5"),
     )
 
 
@@ -620,6 +647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JVM regexp codegen; dialect-restricted patterns shared with
         # the RE2 oracle
         "pii_redact": pii_redact_docs,
+        # edge-silence trim: decode-decided boundaries, decode-free
+        # byte-slice emission; oracle slices hex against independent
+        # float64 lead/trail ground truth (features_v4)
+        "clips_silence_trim": clips_silence_trim,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -1483,7 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         "clips_window_rollup": """
             WITH c AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
                        WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL),
-            f AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v3/*.parquet')),
+            f AS (SELECT * FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v4/*.parquet')),
             j AS (SELECT CAST(floor(epoch(c.event_time)/10)*10 AS BIGINT) AS window_start_s,
                          c.codec, f.n_samples, f.rms_db, f.peak, c.transcript
                   FROM c JOIN f USING (clip_id)
@@ -1497,7 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "clips_audio_stats": """
             SELECT clip_id, n_samples, n_zero_cross, n_silent
-            FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v3/*.parquet')
+            FROM read_parquet('/root/repo/.data/entry/clips_n500_features_v4/*.parquet')
             WHERE n_samples IS NOT NULL
         """,
         "clips_fingerprint_dedup": """
@@ -1518,7 +1549,7 @@ def oracle_sql() -> dict[str, str]:
                    round(f.centroid_hz, 4) AS centroid_hz,
                    round(f.dominant_hz, 4) AS dominant_hz
             FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet') c
-            JOIN read_parquet('/root/repo/.data/entry/clips_n500_features_v3/*.parquet') f
+            JOIN read_parquet('/root/repo/.data/entry/clips_n500_features_v4/*.parquet') f
               USING (clip_id)
             WHERE f.n_samples IS NOT NULL
         """,
@@ -1573,6 +1604,36 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(ns, 0.5), 4) AS p50_samples,
                    round(quantile_cont(ns, 0.95), 4) AS p95_samples
             FROM s GROUP BY 1
+        """,
+        "clips_silence_trim": """
+            WITH c AS (
+              SELECT clip_id, codec,
+                     CASE WHEN codec = 'pcm16' THEN 2 ELSE 1 END AS bps,
+                     CASE WHEN codec = 'pcm16' THEN repeat('00', 32)
+                          ELSE repeat('80', 16) END
+                     || hex(bytes)
+                     || CASE WHEN codec = 'pcm16' THEN repeat('00', 32)
+                             ELSE repeat('80', 16) END AS hx
+              FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+              WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
+                AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)),
+            j AS (
+              SELECT c.clip_id, c.codec, c.bps, c.hx,
+                     f.n_samples + 32 AS n,
+                     f.n_samples - f.n_lead_silent - f.n_trail_silent AS raw_out,
+                     f.n_lead_silent, f.n_trail_silent
+              FROM c
+              JOIN read_parquet('/root/repo/.data/entry/clips_n500_features_v4/*.parquet') f
+                USING (clip_id))
+            SELECT clip_id, codec,
+                   CAST(n AS INT) AS n_samples,
+                   CAST(CASE WHEN raw_out > 0 THEN 16 + n_lead_silent ELSE n END AS INT) AS n_lead,
+                   CAST(CASE WHEN raw_out > 0 THEN 16 + n_trail_silent ELSE 0 END AS INT) AS n_trail,
+                   CAST(greatest(raw_out, 0) AS INT) AS n_samples_out,
+                   md5(substring(hx,
+                        CAST((CASE WHEN raw_out > 0 THEN 16 + n_lead_silent ELSE n END) * bps * 2 + 1 AS BIGINT),
+                        CAST(greatest(raw_out, 0) * bps * 2 AS BIGINT))) AS trim_md5
+            FROM j
         """,
         "pii_redact": """
             WITH aug AS (

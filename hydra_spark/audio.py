@@ -242,6 +242,17 @@ def silent_samples(x: np.ndarray, eps: np.float32 = SILENCE_EPS) -> int:
     return int(np.count_nonzero(np.abs(x) <= eps))
 
 
+def lead_trail_silent(x: np.ndarray, eps: np.float32 = SILENCE_EPS) -> tuple[int, int]:
+    """(leading, trailing) run lengths of silent samples (|x| <= eps) —
+    the shared ground-truth definition for silence trimming (engine
+    vectorized form: functions/trim.py). All-silent convention:
+    (len(x), 0) — the whole clip is 'leading' silence, n_out = 0."""
+    nz = np.flatnonzero(np.abs(x) > eps)
+    if len(nz) == 0:
+        return len(x), 0
+    return int(nz[0]), int(len(x) - 1 - nz[-1])
+
+
 # ---------------------------------------------------------------- metrics
 
 def snr_db(ref: np.ndarray, out: np.ndarray) -> float:

@@ -187,7 +187,7 @@ def write_clip_features(
 
     cols = [
         "clip_id", "n_samples", "rms_db", "peak", "n_zero_cross", "n_silent",
-        "centroid_hz", "dominant_hz",
+        "centroid_hz", "dominant_hz", "n_lead_silent", "n_trail_silent",
     ]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,17 +199,20 @@ def write_clip_features(
                 try:
                     x = audio.decode(None if buf is None else bytes(buf), str(codec))
                 except Exception:
-                    rows.append((cid, None, None, None, None, None, None, None))
+                    rows.append((cid, None, None, None, None, None, None, None, None, None))
                     continue
                 n = len(x)
                 zc, sil = audio.zero_crossings(x), audio.silent_samples(x)
                 cen, dom = audio.spectral_features(x, int(sr))
+                lead, trail = audio.lead_trail_silent(x)
                 if n == 0:
-                    rows.append((cid, 0, None, None, zc, sil, cen, dom))
+                    rows.append((cid, 0, None, None, zc, sil, cen, dom, lead, trail))
                     continue
                 p = float(np.sum(np.square(x, dtype=np.float64))) / n
                 rms = 10.0 * np.log10(p) if p > 0 else float("-inf")
-                rows.append((cid, n, rms, float(np.max(np.abs(x))), zc, sil, cen, dom))
+                rows.append(
+                    (cid, n, rms, float(np.max(np.abs(x))), zc, sil, cen, dom, lead, trail)
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     schema = T.StructType(
@@ -222,6 +225,8 @@ def write_clip_features(
             T.StructField("n_silent", T.IntegerType(), True),
             T.StructField("centroid_hz", T.DoubleType(), True),
             T.StructField("dominant_hz", T.DoubleType(), True),
+            T.StructField("n_lead_silent", T.IntegerType(), True),
+            T.StructField("n_trail_silent", T.IntegerType(), True),
         ]
     )
     clips = spark.read.parquet(clips_dir).select("clip_id", "bytes", "codec", "sr_hz")

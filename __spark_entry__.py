@@ -628,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": A.events_pivot,
         # CUBE: 4 grouping sets, still one Expand + one shuffle
         "events_cube": A.events_cube,
+        # arbitrary GROUPING SETS (two marginals, not rollup-expressible)
+        "events_grouping_sets": A.events_grouping_sets,
         # CDF as a Structured Streaming SOURCE (manifest-version
         # offsets, per-changed-bucket partitions, shuffle-free local
         # diffs); same oracle as the batch table_changes row, so the
@@ -1604,6 +1606,14 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(ns, 0.5), 4) AS p50_samples,
                    round(quantile_cont(ns, 0.95), 4) AS p95_samples
             FROM s GROUP BY 1
+        """,
+        "events_grouping_sets": """
+            WITH e AS (SELECT event_type, user_id % 10 AS user_bucket, value FROM events)
+            SELECT CAST(GROUPING(event_type, user_bucket) AS BIGINT) AS gid,
+                   event_type, user_bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket))
         """,
         "clips_silence_trim": """
             WITH c AS (

@@ -545,6 +545,29 @@ def events_cube(spark, sf_dir):
     )
 
 
+def events_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    for: here {(event_type), (user_bucket)} — two independent marginal
+    breakdowns that are NOT a rollup (no grand total, no pair level), so
+    neither sugar can express them. Still one Expand (2x) + one shuffle
+    with map-side partials; computing the two marginals as separate
+    queries would scan the 100-TB input twice."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return (
+        ev.groupingSets(
+            [["event_type"], ["user_bucket"]], "event_type", "user_bucket"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("gid", "event_type", "user_bucket", "n_events", "sum_value")
+    )
+
+
 def events_pivot(spark, sf_dir):
     """Pivot the event stream into a wide per-user-bucket metrics table
     (one column per event type). The value list is EXPLICIT: Spark's

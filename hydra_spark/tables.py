@@ -542,6 +542,8 @@ class TransactionalTable:
         spark: SparkSession,
         max_files_per_bucket: int = 1,
         buckets: list[int] | None = None,
+        sort_by: list[str] | None = None,
+        target_file_rows: int | None = None,
     ) -> dict:
         """Rewrite multi-file buckets into single files — the Iceberg
         ``rewrite_data_files`` (binpack) analog, and the consumer of the
@@ -562,6 +564,20 @@ class TransactionalTable:
         once unreferenced), and ``read_changes`` across a compaction
         emits ZERO rows (the file lists differ, the content doesn't).
 
+        ``sort_by`` + ``target_file_rows`` = Iceberg's SORT-ordered
+        rewrite instead of binpack. Plain compaction DESTROYS the
+        file-skipping value of append-generation layout: each appended
+        batch's files carry that batch's column bounds (e.g. one day of
+        event time), but merging generations into one file per bucket
+        widens every file's bounds to the full table range, so
+        plan_files() stops pruning. Sorting each bucket by the scan
+        predicate's column and splitting at ``target_file_rows`` keeps
+        per-file bounds to contiguous, disjoint ranges — read
+        amplification drops AND range pruning survives compaction. The
+        writer's required partition-column ordering is satisfied by
+        putting _bucket first in the sort, so the per-bucket sort is
+        not re-sorted away.
+
         Returns {"buckets_compacted", "files_before", "files_after"}.
         """
         m = self.manifest()
@@ -577,14 +593,18 @@ class TransactionalTable:
         df = self._read_files(spark, files, m).withColumn("_bucket", self._bucket_col())
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.path, "data", f"compact-{commit_id}")
-        (
-            # one task per bucket (repartition on the bucket key), so
-            # each bucket directory receives exactly one file
-            df.repartition(len(cands), "_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        out = df.repartition(len(cands), "_bucket")
+        # one task per bucket (repartition on the bucket key), so each
+        # bucket directory receives exactly one file — unless a sorted
+        # rewrite splits it at target_file_rows into contiguous ranges
+        if sort_by:
+            out = out.sortWithinPartitions("_bucket", *sort_by)
+        writer = out.write.mode("overwrite")
+        if target_file_rows is not None:
+            if target_file_rows < 1:
+                raise ValueError(f"target_file_rows must be >= 1, got {target_file_rows}")
+            writer = writer.option("maxRecordsPerFile", target_file_rows)
+        writer.partitionBy("_bucket").parquet(out_dir)
         new_files = {k: list(v) for k, v in m["files"].items()}
         written = self._scan_bucket_output(out_dir)
         new_files.update(written)

@@ -124,3 +124,37 @@ def test_stats_carried_forward_and_survive_compact(spark, tmp_path):
     kept, total = t.plan_files({"v": (9000, 9009)})
     assert len(kept) < total or total <= 4
     assert t.read_where(spark, {"v": (9000, 9009)}).count() == 10
+
+
+def test_sorted_compaction_preserves_pruning(spark, tmp_path):
+    """Binpack compaction widens every file's bounds to the full range
+    (pruning collapses); a SORT-ordered rewrite splitting at
+    target_file_rows restores disjoint per-file ranges."""
+    t = _mk(spark, tmp_path / "t", n_batches=4, rows=400)
+    pred = {"v": (1000, 1399)}  # generation 1's range
+    kept, total = t.plan_files(pred)
+    assert len(kept) == 4 < total
+
+    r = t.compact(spark, sort_by=["v"], target_file_rows=150)
+    assert r["buckets_compacted"] == 4
+    kept2, total2 = t.plan_files(pred)
+    assert kept2 and len(kept2) < total2, "sorted rewrite must keep pruning"
+    # per-file v-ranges within each bucket are disjoint (contiguous sort runs)
+    st = t.manifest()["file_stats"]
+    for b, fl in t.manifest()["files"].items():
+        spans = sorted((st[p]["v"]["lo"], st[p]["v"]["hi"]) for p in fl)
+        assert len(fl) > 1  # the split actually happened
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, f"bucket {b} has overlapping sorted files"
+    # answer parity after the rewrite
+    got = sorted(r.k for r in t.read_where(spark, pred).collect())
+    exp = sorted(r.k for r in t.read(spark).where(F.col("v").between(1000, 1399)).collect())
+    assert got == exp and len(got) == 400
+
+
+def test_binpack_compaction_collapses_pruning(spark, tmp_path):
+    """Documents the interaction the sorted rewrite exists to fix."""
+    t = _mk(spark, tmp_path / "t", n_batches=3, rows=300)
+    t.compact(spark)
+    kept, total = t.plan_files({"v": (0, 299)})
+    assert len(kept) == total  # every merged file now spans every generation

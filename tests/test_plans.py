@@ -106,3 +106,15 @@ def test_minhash_verify_has_no_cartesian(spark):
     p = plan_of(minhash_lsh_pairs(docs, threshold=0.5, bands=64))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_grouping_sets_one_expand_one_shuffle(spark):
+    """ROLLUP/CUBE/GROUPING SETS must stay one Expand + one Exchange
+    with a map-side partial aggregate — two marginals as separate
+    queries would scan the input twice at 100 TB."""
+    for q in (A.events_grouping_sets, A.events_cube, A.lineitem_rollup):
+        p = plan_of(q(spark, SF))
+        assert p.count("Expand") >= 1
+        n_exchange = p.count("Exchange")
+        assert n_exchange <= 2, f"{q.__name__}: {n_exchange} exchanges"
+        assert "partial_count" in p or "HashAggregate" in p

@@ -77,3 +77,37 @@ def test_trim_keeps_passthrough_columns(spark):
     )
     out = trim_silence(df).select("clip_id", "tag", "sr_hz").collect()
     assert all(r.tag == f"t-{r.clip_id}" and r.sr_hz == 8000 for r in out)
+
+
+def test_trim_streaming_matches_batch(spark, clips, tmp_path):
+    """trim_silence is a stateless mapInArrow stage, so it runs
+    unchanged in Structured Streaming; streamed output must equal batch
+    byte-for-byte (same parity contract as the gain/mask/transcode
+    stages)."""
+    import os
+    import shutil
+
+    src = os.path.join(str(tmp_path), "src")
+    sub = clips.where(F.col("clip_id").endswith("7")).select("clip_id", "bytes", "codec")
+    sub.repartition(4).write.parquet(src)
+
+    def digest(df):
+        return trim_silence(df).select(
+            "clip_id", "n_lead", "n_trail", F.md5(F.hex("bytes_trim")).alias("h")
+        )
+
+    batch = {tuple(r) for r in digest(spark.read.parquet(src)).collect()}
+    stream = spark.readStream.schema(sub.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    out_dir = os.path.join(str(tmp_path), "out")
+    q = (
+        digest(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "availableNow trigger did not finish"
+    streamed = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert streamed == batch and len(batch) > 50
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

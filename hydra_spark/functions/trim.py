@@ -68,8 +68,6 @@ def _lead_trail_chunk(x: np.ndarray, counts: np.ndarray, eps) -> tuple[np.ndarra
 def trim_silence(df: DataFrame, eps: float | None = None) -> DataFrame:
     """bytes+codec -> original columns (minus bytes) + n_samples /
     n_lead / n_trail / n_samples_out / bytes_trim / trim_error."""
-    import pyarrow as pa
-
     eps = np.float32(audio.SILENCE_EPS if eps is None else eps)
     keep = [f for f in df.schema.fields if f.name != "bytes"]
     out_schema = T.StructType(keep + OUT_FIELDS)

@@ -177,19 +177,23 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     pipeline runs before tokenization: emails, E.164-ish phone numbers,
     and IPv4 literals replaced by typed placeholders, with per-document
     match counts for audit sampling. Redaction order is fixed
-    (email -> phone -> ip; the patterns are mutually non-overlapping,
-    so order only matters as a contract). All JVM regexp codegen —
-    zero Python, no shuffle; scales as a pure map over any corpus.
-    Output: input columns + n_emails/n_phones/n_ips + ``<text_col>_redacted``.
+    (email -> phone -> ip) and each count is taken on the PREVIOUS
+    stage's output, so the patterns CAN overlap (a phone-shaped email
+    local-part, an IPv4-shaped domain) and the counts still reconcile
+    exactly with the placeholders in the redacted text — n_phones is
+    the number of <PHONE> markers emitted, never a phantom match inside
+    an already-redacted email. All JVM regexp codegen — zero Python, no
+    shuffle; scales as a pure map over any corpus. Output: input
+    columns + n_emails/n_phones/n_ips + ``<text_col>_redacted``.
     """
     c = F.col(text_col)
-    red = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
-    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
-    red = F.regexp_replace(red, PII_IP_RE, "<IP>")
+    r1 = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    r2 = F.regexp_replace(r1, PII_PHONE_RE, "<PHONE>")
+    r3 = F.regexp_replace(r2, PII_IP_RE, "<IP>")
     return _spread(df, id_col).select(
         "*",
         F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)).cast("long").alias("n_phones"),
-        F.size(F.regexp_extract_all(c, F.lit(PII_IP_RE), 0)).cast("long").alias("n_ips"),
-        red.alias(f"{text_col}_redacted"),
+        F.size(F.regexp_extract_all(r1, F.lit(PII_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(r2, F.lit(PII_IP_RE), 0)).cast("long").alias("n_ips"),
+        r3.alias(f"{text_col}_redacted"),
     )

@@ -528,6 +528,9 @@ def test_pii_redact_counts_and_placeholders(spark):
         (1, "mail a@b.co and c.d+x@e-f.org, call +1-555-0199, host 192.168.1.10"),
         (2, "no pii here, just 3 numbers 42 and v1.2"),  # v1.2 is not an IPv4
         (3, "double mail x@y.io x@y.io"),
+        # overlap: phone-shaped local-part is consumed by the email
+        # redaction; counts reconcile with emitted placeholders
+        (4, "mail +1-555-12@x.io and call +1-555-99"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in pii_redact(df).collect()}
@@ -536,3 +539,5 @@ def test_pii_redact_counts_and_placeholders(spark):
     assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 0)
     assert got[2].text_redacted == rows[1][1]  # untouched passthrough
     assert got[3].n_emails == 2 and got[3].text_redacted == "double mail <EMAIL> <EMAIL>"
+    assert (got[4].n_emails, got[4].n_phones) == (1, 1)
+    assert got[4].text_redacted == "mail <EMAIL> and call <PHONE>"

@@ -494,7 +494,11 @@ def _ensure_index(sf_dir: str, subdir: str, build) -> str:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         if os.path.isdir(root):
             for stale in os.listdir(root):
-                if stale.startswith(f"{prefix}_") and stale != key:
+                # parse the exact fixture prefix (strip the trailing
+                # _<mtime> component) — a startswith match would let
+                # nested basenames ('sf1' vs 'sf1_big') evict each
+                # other's valid indexes
+                if stale.rsplit("_", 1)[0] == prefix and stale != key:
                     shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
         build(path)
     return path
@@ -653,6 +657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-slice emission; oracle slices hex against independent
         # float64 lead/trail ground truth (features_v4)
         "clips_silence_trim": clips_silence_trim,
+        # bulk Subject (topic-name) grammar gate — the create-topic
+        # validation path, classifier shared with validate_subject
+        "subject_validation": A.subject_validation,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -676,6 +683,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # change-data-feed between snapshots (bucket-pruned incremental
         # scan); all three change types reproduced by the oracle
         "table_changes": A.table_changes,
+        # ---- past the 50-entry window from here down: all PASS(r3) in
+        # CORRECTNESS_r03.json. (table_changes above is entry #50, the
+        # last driver-certified row — every tier-E insertion rotates
+        # one stable r3-certified row out of the window; verify with
+        # list(queries())[:50] after ANY registry edit.)
         # as-of join (nearest-earlier match, union+window — no range
         # state); oracle is an independent LATERAL formulation
         "asof_purchase_click": A.asof_purchase_click,
@@ -696,11 +708,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and recall-tested in tests/test_ops.py; not registered — the
         # registry row would be rows-only noise next to the
         # oracle-checked md5 form above)
-        # ---- past the 50-entry window from here down: all PASS(r3) in
-        # CORRECTNESS_r03.json. (simhash_dup above is entry #50, the
-        # last driver-certified row — every tier-E insertion rotates one
-        # stable r3-certified row out of the window; verify with
-        # list(queries())[:50] after ANY registry edit.)
         # training-data: similarity
         "embedding_cosine_topk": emb(lambda e: S.cosine_topk(e, list(range(25)), k=3)),
         "embedding_cosine_dup": emb(lambda e: S.cosine_pairs(e, threshold=0.4)),
@@ -1645,6 +1652,26 @@ def oracle_sql() -> dict[str, str]:
                         CAST(greatest(raw_out, 0) * bps * 2 AS BIGINT))) AS trim_md5
             FROM j
         """,
+        # same grammar decomposition as tables.subject_valid_col: length
+        # cap as a conjunct + lookahead-free body, so RE2 (DuckDB) and
+        # Java regex agree
+        "subject_validation": r"""
+            WITH cand AS (
+              SELECT n_nationkey AS nationkey,
+                (CASE n_nationkey % 5
+                   WHEN 0 THEN 'tech' WHEN 1 THEN 'cloud' WHEN 2 THEN 'acme'
+                   WHEN 3 THEN '_t' || n_nationkey ELSE 'fin' END)
+                || '.' ||
+                (CASE n_nationkey % 4
+                   WHEN 0 THEN 'clips' WHEN 1 THEN 'clips-raw'
+                   WHEN 2 THEN 'clips--raw' ELSE '' END) AS subject
+              FROM nation)
+            SELECT nationkey, subject,
+              (len(subject) <= 249 AND regexp_full_match(subject,
+                '(?:cloud|skills|flow|tech|fin|dvs|_[a-zA-Z0-9]+)(\.[a-zA-Z0-9]+(-[a-zA-Z0-9]+)*)+'))
+              AS is_valid
+            FROM cand
+        """,
         "pii_redact": """
             WITH aug AS (
               SELECT doc_id,
@@ -1657,15 +1684,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN ' ip 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ELSE '' END
                 AS t
               FROM documents)
+            , staged AS (
+              SELECT doc_id, t,
+                regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+              FROM aug),
+            staged2 AS (
+              SELECT doc_id, t, r1,
+                regexp_replace(r1, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}', '<PHONE>', 'g') AS r2
+              FROM staged)
             SELECT doc_id,
               len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-              len(regexp_extract_all(t, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}')) AS n_phones,
-              len(regexp_extract_all(t, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ips,
-              md5(regexp_replace(regexp_replace(regexp_replace(t,
-                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                    '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}', '<PHONE>', 'g'),
-                    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
-            FROM aug
+              len(regexp_extract_all(r1, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{1,6}')) AS n_phones,
+              len(regexp_extract_all(r2, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ips,
+              md5(regexp_replace(r2, '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+            FROM staged2
         """,
         "interval_join_outer": """
             SELECT c.event_id AS click_id,

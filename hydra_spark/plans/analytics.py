@@ -1034,3 +1034,39 @@ def ingest_report(spark, sf_dir):
         "status_code",
         "error",
     )
+
+
+def subject_validation(spark, sf_dir):
+    """Bulk Subject (topic-name) validation over a catalog of proposed
+    names — the refined-regex gate every create-topic request passes in
+    the reference (TopicMetadataV2Transport.scala:113-127 Subject /
+    createValidated). Candidate names are derived deterministically from
+    the nation fixture so the row exercises every grammar branch: valid
+    orgs, an unknown org, the ``_org`` alnum-tail form, hyphenated
+    segments, doubled hyphens, and an empty trailing segment. The
+    classifier (tables.subject_valid_col) is one JVM regexp conjunct —
+    a pure map, no shuffle, linear over any catalog size."""
+    from hydra_spark.tables import subject_valid_col
+
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    org = (
+        F.when(k % 5 == 0, F.lit("tech"))
+        .when(k % 5 == 1, F.lit("cloud"))
+        .when(k % 5 == 2, F.lit("acme"))
+        .when(k % 5 == 3, F.concat(F.lit("_t"), k.cast("string")))
+        .otherwise(F.lit("fin"))
+    )
+    seg = (
+        F.when(k % 4 == 0, F.lit("clips"))
+        .when(k % 4 == 1, F.lit("clips-raw"))
+        .when(k % 4 == 2, F.lit("clips--raw"))
+        .otherwise(F.lit(""))
+    )
+    cand = n.select(
+        k.alias("nationkey"),
+        F.concat(org, F.lit("."), seg).alias("subject"),
+    )
+    return cand.select(
+        "nationkey", "subject", subject_valid_col(F.col("subject")).alias("is_valid")
+    )

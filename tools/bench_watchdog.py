@@ -9,7 +9,7 @@ launches a SINGLE-PAIR bench run (headline suite off, sidecar-merged
 into BASELINE.md) the moment that pair's window is clean, until the
 pair clears the 0.8 gate or the deadline passes.
 
-Usage: python tools/bench_watchdog.py [max_hours]
+Usage: python tools/bench_watchdog.py [max_hours] [pair_spec ...]
 Log: /tmp/bench_watchdog.log; per-run logs /tmp/bench_wd_<pair>.log
 """
 
@@ -82,7 +82,11 @@ def run_pair(spec: str) -> float | None:
 
 def main() -> None:
     deadline = time.time() + float(sys.argv[1] if len(sys.argv) > 1 else 3) * 3600
+    # optional argv[2:]: pair specs to chase (default: all) — lets a
+    # session re-run ONE pair without risking the other's good sidecar
     remaining = dict(PAIRS)
+    if len(sys.argv) > 2:
+        remaining = {s: PAIRS[s] for s in sys.argv[2:]}
     while remaining and time.time() < deadline:
         for spec, (lo, hi, ctrl_min, bw_min) in list(remaining.items()):
             ctrl_r, bw_r = probe(lo, hi)

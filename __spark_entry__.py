@@ -660,6 +660,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bulk Subject (topic-name) grammar gate — the create-topic
         # validation path, classifier shared with validate_subject
         "subject_validation": A.subject_validation,
+        # TPC-H Q5: six-table join, same-nation constraint; filtered
+        # supplier dim broadcast so the fact shuffles only on its keys
+        "tpch_q5": A.tpch_q5,
+        # TPC-H Q18: grouped-HAVING subquery + broadcast join-back of
+        # the rare-key result (one full-fact shuffle total)
+        "tpch_q18": A.tpch_q18,
+        # predicate DELETE as a file-pruned copy-on-write rewrite:
+        # untouched generations keep their exact file paths (asserted)
+        "table_delete_where": A.table_delete_where,
+        # per-doc top-k terms by smoothed TF-IDF: two hash aggs + one
+        # window top-k, vocab side broadcast; fully deterministic ties
+        "tfidf_topk": docs(lambda d: X.tfidf_topk(d, k=3)),
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -673,6 +685,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A1 latest-wins dedup / tombstones
         "dedup_latest_wins": A.dedup_latest_wins,
         "tombstone_latest_state": A.tombstone_latest_state,
+        # ---- past the 50-entry window from here down: all PASS(r3) in
+        # CORRECTNESS_r03.json. (tombstone_latest_state above is entry
+        # #50, the last driver-certified row — every tier-E insertion
+        # rotates one stable r3-certified row out of the window; verify
+        # with list(queries())[:50] after ANY registry edit.)
         # §2.8 stream-stream interval join (batch form)
         "interval_join": A.interval_join,
         # CEP sequence detection (batch form of the stateful detector)
@@ -683,11 +700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # change-data-feed between snapshots (bucket-pruned incremental
         # scan); all three change types reproduced by the oracle
         "table_changes": A.table_changes,
-        # ---- past the 50-entry window from here down: all PASS(r3) in
-        # CORRECTNESS_r03.json. (table_changes above is entry #50, the
-        # last driver-certified row — every tier-E insertion rotates
-        # one stable r3-certified row out of the window; verify with
-        # list(queries())[:50] after ANY registry edit.)
         # as-of join (nearest-earlier match, union+window — no range
         # state); oracle is an independent LATERAL formulation
         "asof_purchase_click": A.asof_purchase_click,
@@ -1273,6 +1285,27 @@ def oracle_sql() -> dict[str, str]:
                           JOIN nation ON c_nationkey=n_nationkey
             GROUP BY 1
         """,
+        "tpch_q5": """
+            SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+                          JOIN customer ON o_custkey=c_custkey
+                          JOIN supplier ON l_suppkey=s_suppkey
+                          JOIN nation ON s_nationkey=n_nationkey
+                          JOIN region ON n_regionkey=r_regionkey
+            WHERE r_name='ASIA' AND c_nationkey=s_nationkey
+              AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_totalprice, round(sum_qty, 2) AS sum_qty
+            FROM big JOIN orders ON o_orderkey=l_orderkey
+                     JOIN customer ON o_custkey=c_custkey
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)
         """,
@@ -1431,6 +1464,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
             FROM documents GROUP BY 1
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term <> '' GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf,
+                     round(tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN total),
+            ranked AS (
+              SELECT doc_id, term, tf, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term) AS rank
+              FROM scored)
+            SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, tfidf
+            FROM ranked WHERE rank <= 3
         """,
         "bpe_token_counts": """
             -- same GPT-2-style pre-tokenizer pattern as BPE_TOKEN_RE
@@ -1721,6 +1775,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
               AND ts <= TIMESTAMP '2024-01-21 23:59:59.999999'
+            GROUP BY event_type
+        """,
+        # survivors of the ranged DELETE; the table holds the four
+        # weekly generations, so the oracle filters to that span first
+        "table_delete_where": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts < TIMESTAMP '2024-02-01 00:00:00'
+              AND NOT (ts >= TIMESTAMP '2024-01-16 00:00:00'
+                       AND ts <= TIMESTAMP '2024-01-18 23:59:59.999999')
             GROUP BY event_type
         """,
         "clips_transcode": """

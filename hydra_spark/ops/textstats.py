@@ -197,3 +197,48 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.size(F.regexp_extract_all(r2, F.lit(PII_IP_RE), 0)).cast("long").alias("n_ips"),
         r3.alias(f"{text_col}_redacted"),
     )
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the keyword-extraction /
+    corpus-characterization pass a training-data pipeline runs before
+    topic filtering. Whitespace tokenization (the corpus contract shared
+    with the shingle ops); tf = raw in-document count, idf =
+    ln((N+1)/(df+1)) + 1 (the smoothed scikit-learn formulation — never
+    divides by zero, never goes negative), score rounded to 6 dp so the
+    engine and the SQL oracle hash identically. Ties break by term
+    ascending, so top-k is fully deterministic.
+
+    Scale shape: two hash aggregations (doc×term counts, then term
+    document-frequencies) and one window top-k partitioned by doc —
+    every stage has map-side partials, nothing driver-side, no UDF. The
+    df side is |vocab|-sized; it rides a broadcast back onto the
+    doc×term counts at 100 TB (AQE chooses; vocab ≪ corpus)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # document frequency per term, then the smoothed idf
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = df.select(F.countDistinct(id_col).alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "tfidf")
+    )

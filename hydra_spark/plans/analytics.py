@@ -1070,3 +1070,121 @@ def subject_validation(spark, sf_dir):
     return cand.select(
         "nationkey", "subject", subject_valid_col(F.col("subject")).alias("is_valid")
     )
+
+
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): six-table join with the
+    same-nation constraint (customer and supplier in the same ASIA
+    nation). Plan shape for 100 TB: region->nation is folded driver-side
+    into the supplier dimension, and that filtered supplier dim (1/5 of
+    suppliers, ~10^-4 of lineitem rows) is broadcast — so the fact
+    table shuffles only for the orders/customer equi-joins, and the
+    selective date filter on orders is pushed to the parquet scan
+    before its shuffle."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nations = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(sup),
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (cust["c_nationkey"] == sup["s_nationkey"]),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): a grouped-HAVING subquery on
+    the fact table joined back to orders and customer. Plan shape for
+    100 TB: the only full-fact shuffle is the sum-quantity aggregate
+    (map-side partials collapse ~4 lineitems/order before the
+    exchange); the HAVING > 300 filter leaves a rare-event key set, so
+    the joins back to orders and customer broadcast the filtered side
+    instead of re-shuffling either dimension."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    hits = orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+    return (
+        cust.join(F.broadcast(hits), hits["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def table_delete_where(spark, sf_dir):
+    """Predicate DELETE as a file-pruned copy-on-write rewrite
+    (tables.delete_where): four weekly event generations, then DELETE a
+    range inside week 3 — scan planning proves the other weeks' files
+    cannot contain matches, so they are neither read nor rewritten and
+    keep their exact paths across the commit (asserted engine-side; a
+    stats regression fails the row loudly). At 10^12 rows this is a
+    GDPR-style retention delete that costs one day's files, not a
+    full-table rewrite (Hydra analog: tombstone-triggered deletion, D3
+    deletion program semantics). The oracle recomputes the survivor
+    aggregate from raw events in SQL."""
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+
+    from hydra_spark.tables import TransactionalTable
+
+    root = _os.path.join(
+        "/root/repo/.data/entry", f"del_where_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    t = TransactionalTable(root, ["event_id"], n_buckets=8)
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    weeks = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01"]
+    for i in range(4):
+        gen = ev.where((F.col("ts") >= weeks[i]) & (F.col("ts") < weeks[i + 1]))
+        t.append_dedup(spark, gen, f"week{i}")
+    before = {b: sorted(fl) for b, fl in t.manifest()["files"].items()}
+    lo = _dt.datetime(2024, 1, 16)
+    hi = _dt.datetime(2024, 1, 18, 23, 59, 59, 999999)
+    rep = t.delete_where(spark, {"ts": (lo, hi)})
+    after = {b: sorted(fl) for b, fl in t.manifest()["files"].items()}
+    untouched_kept = sum(
+        1 for b in before for p in before[b] if p in set(after.get(b, []))
+    )
+    if rep["rows_deleted"] == 0 or rep["files_untouched"] == 0:
+        raise RuntimeError(f"delete_where pruning regressed: {rep}")
+    if untouched_kept == 0:
+        raise RuntimeError("no pre-delete file survived by identity")
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

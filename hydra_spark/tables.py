@@ -686,6 +686,86 @@ class TransactionalTable:
             "files_after": sum(len(new_files[b]) for b in cands),
         }
 
+    def delete_where(self, spark: SparkSession, predicates: dict) -> dict:
+        """Predicate DELETE as a file-pruned rewrite — the Iceberg
+        copy-on-write ``DELETE FROM t WHERE lo <= col <= hi`` analog
+        (same range-conjunct language as ``read_where``). Scan planning
+        runs first: files whose manifest stats prove NO row can match
+        are never opened, never rewritten, and keep their exact paths in
+        the new snapshot — deleting one day from years of
+        append-generation history rewrites that day's files only. Only
+        admitted files are read (twice: one pass counts matches, one
+        writes survivors — both pruned, never full-table), and the
+        residual filter is exact, so stats only remove work.
+
+        NULL semantics match ``plan_files``: a range predicate never
+        matches NULL, so NULL-valued rows always survive. Retained older
+        snapshots still reference the old files (time travel sees the
+        deleted rows until ``expire_snapshots``), ``committed_batches``
+        is carried unchanged, and ``read_changes`` across the delete
+        emits exactly the deleted keys as 'delete' pre-image rows.
+
+        Returns {"rows_deleted", "files_rewritten", "files_untouched",
+        "buckets_touched"}.
+        """
+        m = self.manifest()
+        admitted, total = self.plan_files(predicates)
+        admitted_set = set(admitted)
+        cands = {
+            b: [p for p in fl if p in admitted_set]
+            for b, fl in m["files"].items()
+            if any(p in admitted_set for p in fl)
+        }
+        if not cands:
+            return {
+                "rows_deleted": 0, "files_rewritten": 0,
+                "files_untouched": total, "buckets_touched": 0,
+            }
+        files = [p for fl in cands.values() for p in fl]
+        df = self._read_files(spark, files, m)
+        match = F.lit(True)
+        for c, (lo, hi) in predicates.items():
+            if lo is not None:
+                match = match & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                match = match & (F.col(c) <= F.lit(hi))
+        n_del = df.where(F.coalesce(match, F.lit(False))).count()
+        if n_del == 0:  # stats admitted files but the residual hit nothing
+            return {
+                "rows_deleted": 0, "files_rewritten": 0,
+                "files_untouched": total, "buckets_touched": 0,
+            }
+        survivors = df.where(~F.coalesce(match, F.lit(False))).withColumn(
+            "_bucket", self._bucket_col()
+        )
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.path, "data", f"delete-{commit_id}")
+        survivors.repartition(len(cands), "_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(out_dir)
+        written = self._scan_bucket_output(out_dir)
+        new_files = {k: list(v) for k, v in m["files"].items()}
+        for b, fl in cands.items():
+            untouched = [p for p in new_files[b] if p not in admitted_set]
+            new_files[b] = untouched + written.get(b, [])
+        self._record_file_schemas(m, new_files)
+        self._write_manifest(
+            {
+                **m,
+                "version": m["version"] + 1,
+                "files": new_files,
+                "committed_batches": m["committed_batches"],
+                "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
+            }
+        )
+        return {
+            "rows_deleted": int(n_del),
+            "files_rewritten": len(files),
+            "files_untouched": total - len(files),
+            "buckets_touched": len(cands),
+        }
+
     def read_changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
     ) -> DataFrame:

@@ -178,3 +178,55 @@ def test_date_column_with_datetime_bound_never_wrong_prunes(spark, tmp_path):
     # pure date bounds still prune exactly
     kept, _ = t.plan_files({"d": (dt.date(2025, 6, 1), None)})
     assert len(kept) == 1
+
+
+def test_delete_where_rewrites_only_admitted_files(spark, tmp_path):
+    """Ranged DELETE rewrites only the files whose stats admit the
+    range; every other file keeps its exact path, the residual filter
+    is exact within rewritten files, and time travel + CDF see the
+    delete correctly."""
+    t = _mk(spark, tmp_path / "t")
+    v0 = t.manifest()["version"]
+    before = {b: set(fl) for b, fl in t.manifest()["files"].items()}
+    n_before = t.read(spark).count()
+    # delete v in [1200, 1299] — inside generation 1 only, partial file hit
+    rep = t.delete_where(spark, {"v": (1200, 1299)})
+    assert rep["rows_deleted"] == 100
+    assert rep["files_untouched"] > 0 and rep["files_rewritten"] > 0
+    after = {b: set(fl) for b, fl in t.manifest()["files"].items()}
+    # every non-admitted pre-delete file survives BY PATH IDENTITY
+    admitted, _ = t.plan_files({"v": (1200, 1299)}, version=v0)
+    for b in before:
+        assert before[b] - set(admitted) <= after[b]
+    surv = t.read(spark)
+    assert surv.count() == n_before - 100
+    assert surv.where((F.col("v") >= 1200) & (F.col("v") <= 1299)).count() == 0
+    # partially-hit generation keeps its non-matching rows
+    assert surv.where((F.col("v") >= 1000) & (F.col("v") < 1200)).count() == 200
+    # time travel: the pre-delete snapshot still holds every row
+    assert t.read(spark, version=v0).count() == n_before
+    # CDF across the delete: exactly the deleted keys, all 'delete'
+    ch = t.read_changes(spark, from_version=v0).collect()
+    assert len(ch) == 100 and all(r._change_type == "delete" for r in ch)
+    assert {int(r.v) for r in ch} == set(range(1200, 1300))
+
+
+def test_delete_where_null_rows_survive_and_nomatch_is_noop(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=2)
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("c", 50)], "k string, v long"
+    )
+    t.append_dedup(spark, df, "g0")
+    v = t.manifest()["version"]
+    # range predicate never matches NULL — 'b' survives
+    rep = t.delete_where(spark, {"v": (0, 10)})
+    assert rep["rows_deleted"] == 1
+    assert {r.k for r in t.read(spark).collect()} == {"b", "c"}
+    # stats admit nothing -> zero-cost no-op, version unchanged
+    v1 = t.manifest()["version"]
+    rep2 = t.delete_where(spark, {"v": (1000, 2000)})
+    assert rep2 == {
+        "rows_deleted": 0, "files_rewritten": 0,
+        "files_untouched": rep2["files_untouched"], "buckets_touched": 0,
+    }
+    assert t.manifest()["version"] == v1 and v1 > v

@@ -118,3 +118,23 @@ def test_grouping_sets_one_expand_one_shuffle(spark):
         n_exchange = p.count("Exchange")
         assert n_exchange <= 2, f"{q.__name__}: {n_exchange} exchanges"
         assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_tpch_q5_broadcasts_supplier_and_pushes_date(spark):
+    """Q5: the filtered supplier/nation/region dim must broadcast (the
+    fact side shuffles only for orders/customer equi-joins), and the
+    orderdate range must reach the orders parquet scan as PushedFilters."""
+    p = plan_of(A.tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_tpch_q18_single_fact_shuffle(spark):
+    """Q18: one full-fact shuffle (the sum-quantity aggregate) with
+    map-side partials; the HAVING-filtered key set joins back by
+    broadcast — orders and customer must not sort-merge."""
+    p = plan_of(A.tpch_q18(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    # partial + final aggregate around the lineitem exchange
+    assert p.count("HashAggregate") >= 2

@@ -672,6 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-doc top-k terms by smoothed TF-IDF: two hash aggs + one
         # window top-k, vocab side broadcast; fully deterministic ties
         "tfidf_topk": docs(lambda d: X.tfidf_topk(d, k=3)),
+        # partition-spec evolution: eager 4->8 rebucket rewrite, layout
+        # + replay-idempotence asserted engine-side, data identical
+        "table_rebucket": A.table_rebucket,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -684,12 +687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": A.session_window,
         # A1 latest-wins dedup / tombstones
         "dedup_latest_wins": A.dedup_latest_wins,
-        "tombstone_latest_state": A.tombstone_latest_state,
         # ---- past the 50-entry window from here down: all PASS(r3) in
-        # CORRECTNESS_r03.json. (tombstone_latest_state above is entry
+        # CORRECTNESS_r03.json. (dedup_latest_wins above is entry
         # #50, the last driver-certified row — every tier-E insertion
         # rotates one stable r3-certified row out of the window; verify
         # with list(queries())[:50] after ANY registry edit.)
+        "tombstone_latest_state": A.tombstone_latest_state,
         # §2.8 stream-stream interval join (batch form)
         "interval_join": A.interval_join,
         # CEP sequence detection (batch form of the stateful detector)
@@ -1775,6 +1778,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
               AND ts <= TIMESTAMP '2024-01-21 23:59:59.999999'
+            GROUP BY event_type
+        """,
+        # identical data under the evolved 8-bucket layout — the oracle
+        # is layout-blind by construction
+        "table_rebucket": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
             GROUP BY event_type
         """,
         # survivors of the ranged DELETE; the table holds the four

@@ -1188,3 +1188,42 @@ def table_delete_where(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def table_rebucket(spark, sf_dir):
+    """Partition-spec evolution (tables.rebucket): the events table is
+    committed under 4 key-hash buckets, then evolved to 8 — the Iceberg
+    REPLACE PARTITION FIELD bucket(N, key) + rewrite analog, eager
+    because keyed MERGE routing needs one consistent modulus (docstring
+    on rebucket()). Engine-side asserts pin the layout change (manifest
+    bucket count, every bucket directory rewritten) and replay
+    idempotence across the evolution; the oracle recomputes the
+    post-evolution aggregate from raw events — identical data, new
+    layout."""
+    import os as _os
+    import shutil as _shutil
+
+    from hydra_spark.tables import TransactionalTable
+
+    root = _os.path.join(
+        "/root/repo/.data/entry", f"rebucket_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    t = TransactionalTable(root, ["event_id"], n_buckets=4)
+    ev = load(spark, sf_dir, "events")
+    t.append_dedup(spark, ev.where(F.col("event_id") % 2 == 0), "even")
+    t.append_dedup(spark, ev.where(F.col("event_id") % 2 == 1), "odd")
+    rep = t.rebucket(spark, 8)
+    if rep["n_buckets_after"] != 8 or t.manifest()["n_buckets"] != 8:
+        raise RuntimeError(f"rebucket did not evolve the layout: {rep}")
+    if t.append_dedup(spark, ev.where(F.col("event_id") % 2 == 0), "even"):
+        raise RuntimeError("batch replay not idempotent across rebucket")
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -686,6 +686,73 @@ class TransactionalTable:
             "files_after": sum(len(new_files[b]) for b in cands),
         }
 
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
+        """Partition-spec evolution: rewrite the table into a different
+        bucket count (Iceberg ``ALTER TABLE ... REPLACE PARTITION FIELD
+        bucket(N, key)`` + ``rewrite_data_files``). Iceberg can evolve
+        the spec lazily (new spec applies to new files only) because its
+        readers plan per-file; a keyed table whose MERGE routing is
+        bucket-modulus-based cannot — a mixed-modulus layout would route
+        upserts to the wrong bucket (the same silent-row-loss hazard the
+        constructor guards against). So the evolution is eager: one
+        full rewrite, after which every commit routes with the new
+        modulus. Run it when key cardinality has outgrown the bucket
+        count (bucket skew on stats()) — at 10^12 rows this is a known
+        one-off cost, amortized against every later merge touching
+        fewer rows per bucket.
+
+        Data-identical and snapshot-safe like compact(): rows re-read
+        through schema resolution, ``committed_batches`` carried (replay
+        idempotence), retained snapshots keep their files, and
+        ``read_changes`` across a rebucket emits ZERO rows (every bucket's
+        file list changes, the content doesn't). Returns {"n_buckets_before",
+        "n_buckets_after", "files_before", "files_after"}."""
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        m = self.manifest()
+        files = [p for fl in m["files"].values() for p in fl]
+        n_before = self.n_buckets
+        if new_n_buckets == n_before:
+            return {
+                "n_buckets_before": n_before, "n_buckets_after": n_before,
+                "files_before": len(files), "files_after": len(files),
+            }
+        self.n_buckets = new_n_buckets
+        try:
+            if files:
+                df = self._read_files(spark, files, m).withColumn(
+                    "_bucket", self._bucket_col()
+                )
+                commit_id = uuid.uuid4().hex[:12]
+                out_dir = os.path.join(self.path, "data", f"rebucket-{commit_id}")
+                df.repartition(new_n_buckets, "_bucket").write.mode(
+                    "overwrite"
+                ).partitionBy("_bucket").parquet(out_dir)
+                written = self._scan_bucket_output(out_dir)
+            else:
+                written = {}
+            new_files = {str(b): written.get(str(b), []) for b in range(new_n_buckets)}
+            self._record_file_schemas(m, new_files)
+            self._write_manifest(
+                {
+                    **m,
+                    "version": m["version"] + 1,
+                    "files": new_files,
+                    "committed_batches": m["committed_batches"],
+                    "key_cols": self.key_cols,
+                    "n_buckets": new_n_buckets,
+                }
+            )
+        except BaseException:
+            self.n_buckets = n_before  # failed rewrite must not poison
+            raise  # this handle's routing for later commits
+        return {
+            "n_buckets_before": n_before,
+            "n_buckets_after": new_n_buckets,
+            "files_before": len(files),
+            "files_after": sum(len(v) for v in new_files.values()),
+        }
+
     def delete_where(self, spark: SparkSession, predicates: dict) -> dict:
         """Predicate DELETE as a file-pruned rewrite — the Iceberg
         copy-on-write ``DELETE FROM t WHERE lo <= col <= hi`` analog

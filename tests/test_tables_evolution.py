@@ -495,3 +495,34 @@ def test_subject_validation_grammar(tmp_path):
     assert not os.path.exists(root)
     ts = bootstrap_transactional(root, ["k"], subject="tech.clips-raw")
     assert set(ts) == {"output", "metrics", "lineage", "quarantine"}
+
+
+def test_rebucket_preserves_data_and_routing(spark, tmp_path):
+    """Partition-spec evolution: a 2->8 rebucket is data-identical,
+    keeps replay idempotence, routes later merges with the NEW modulus
+    (no duplicate keys), survives handle reopen, stays time-travelable,
+    and emits zero CDF rows (layout changed, content didn't)."""
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=2)
+    rows = [(f"k{i}", i) for i in range(40)]
+    t.merge_upsert(spark, _kv_df(spark, rows), 0)
+    v0 = t.manifest()["version"]
+    before = {(r.k, r.v) for r in t.read(spark).collect()}
+    rep = t.rebucket(spark, 8)
+    assert (rep["n_buckets_before"], rep["n_buckets_after"]) == (2, 8)
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == before
+    # zero-row CDF across the layout change
+    assert t.read_changes(spark, from_version=v0).count() == 0
+    # replay of an already-committed batch is still a no-op
+    assert t.merge_upsert(spark, _kv_df(spark, rows), 0) is False
+    # new-modulus routing: an upsert replaces, never duplicates
+    assert t.merge_upsert(spark, _kv_df(spark, [("k3", 999)]), 1) is True
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got["k3"] == 999 and len(got) == 40
+    # a reopened handle adopts the evolved bucket count
+    assert TransactionalTable(str(tmp_path / "t"), ["k"]).n_buckets == 8
+    # pre-rebucket snapshot still reads the original rows
+    assert {(r.k, r.v) for r in t.read(spark, version=v0).collect()} == before
+    # same-count rebucket is a structural no-op (no new snapshot)
+    v = t.manifest()["version"]
+    t.rebucket(spark, 8)
+    assert t.manifest()["version"] == v

@@ -42,6 +42,14 @@ def log(msg: str) -> None:
         f.write(line + "\n")
 
 
+# builder coordination: the interactive session touches this flag while
+# it runs its own Spark work (pytest, correctness checks, smoke runs) —
+# a bench pass started under that load is wasted wall-clock at best and
+# a dead worker at worst (observed: concurrent pytest killed the c4
+# worker mid-warmup). The watchdog never probes or fires while it's set.
+BUSY_FLAG = "/tmp/hydra_builder_busy"
+
+
 def probe(lo: int, hi: int) -> tuple[float, float]:
     c_lo, c_hi = bench._quick_control_rate(lo), bench._quick_control_rate(hi)
     b_lo, b_hi = bench._quick_bw_rate(lo), bench._quick_bw_rate(hi)
@@ -88,12 +96,16 @@ def main() -> None:
     if len(sys.argv) > 2:
         remaining = {s: PAIRS[s] for s in sys.argv[2:]}
     while remaining and time.time() < deadline:
+        if os.path.exists(BUSY_FLAG):
+            log("builder busy flag set; skipping probe")
+            time.sleep(120)
+            continue
         for spec, (lo, hi, ctrl_min, bw_min) in list(remaining.items()):
             ctrl_r, bw_r = probe(lo, hi)
             clean = ctrl_r >= ctrl_min and bw_r >= bw_min
             log(f"pair {spec}: ctrl x{ctrl_r:.2f} bw x{bw_r:.2f} -> "
                 f"{'RUN' if clean else 'wait'}")
-            if not clean:
+            if not clean or os.path.exists(BUSY_FLAG):
                 continue
             eff = run_pair(spec)
             log(f"pair {spec}: eff={eff}")

@@ -172,6 +172,39 @@ def clips_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-then-reassemble roundtrip: tile each clip into
+    non-overlapping 250 ms segments (hop == seg), then rebuild the
+    payload by ordered binary concatenation per clip — the inverse
+    direction of `clips_segment`, and the shape every
+    chunk-shuffle-reassemble pipeline needs (segments travel through
+    shuffles as (clip_id, seg_idx) rows; the consumer must restore
+    byte-exact clip order). All JVM: sort_array(collect_list(struct))
+    orders by seg_idx, F.aggregate concatenates binary — no UDF, one
+    shuffle on clip_id. The oracle reproduces the reassembled payload
+    as the hex PREFIX of the original bytes (tail shorter than one
+    segment is dropped by the tiling), so the md5 verifies ordering
+    and byte identity, not just counts."""
+    from hydra_spark.functions.segment import segment_clips
+
+    seg = segment_clips(_clips(spark), seg_ms=250, hop_ms=250)
+    seg = seg.where(F.col("segment_error").isNull())
+    parts = F.sort_array(F.collect_list(F.struct("seg_idx", "bytes_seg")))
+    return seg.groupBy("clip_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("n_samples_seg").alias("n_samples_out"),
+        F.md5(
+            F.hex(
+                F.aggregate(
+                    parts,
+                    F.lit(b""),
+                    lambda acc, x: F.concat(acc, x["bytes_seg"]),
+                )
+            )
+        ).alias("reassembled_md5"),
+    )
+
+
 def clips_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak gain normalization to 0.9 (functions/gain.py) — loudness
     alignment before featurization. SQL-checkable projection: pcm16 out
@@ -185,6 +218,29 @@ def clips_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "clip_id", "codec", "n_samples",
         (F.col("n_samples") * F.lit(2)).cast("int").alias("n_bytes_out"),
+    )
+
+
+def clips_rms_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMS loudness normalization to -20 dBFS (target_rms 0.1,
+    functions/gain.py mode='rms') — the level-alignment a speech corpus
+    gets before training when peak normalization isn't enough (peaks
+    say nothing about perceived level). SQL-checkable projection:
+    sample accounting plus the pre-gain RMS in dB, which the oracle
+    reproduces from the features fixture's independently-computed
+    (f64 per-row numpy, not the engine kernel) rms_db — engine and
+    fixture agree to ~1e-9, far inside the 4 dp rounding. All-silent
+    clips (rms 0, passthrough) are excluded by both sides; the
+    normalized BYTES are verified per-row in tests/test_gain.py
+    against audio.gain_clip_rms."""
+    from hydra_spark.functions.gain import rms_normalize_clips
+
+    out = rms_normalize_clips(_clips(spark), target_rms=0.1)
+    out = out.where(F.col("gain_error").isNull() & (F.col("peak_in") > 0))
+    return out.select(
+        "clip_id", "codec", "n_samples",
+        (F.col("n_samples") * F.lit(2)).cast("int").alias("n_bytes_out"),
+        F.round(F.log10(F.col("peak_in")) * 20.0, 4).alias("rms_db_in"),
     )
 
 
@@ -619,10 +675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": frame_sample,
         "clips_sample_rollup": clips_sample_rollup,
         "clips_transcript_normalize": clips_transcript_normalize,
-        # ---- tier D: honest rows-only (recall<1 is the point; each is
-        # pytest-pinned against an oracle-checked exact sibling)
-        "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
-        "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
+        # (tier D — the two honest rows-only ANN rows — moved past the
+        # 50-entry window in round 4: the driver records rows-only for
+        # them wherever they sit, so window slots go to hash-checkable
+        # rows instead)
         # ---- tier E: new in round 4 (inserted here as they land)
         # GROUP BY ROLLUP: one Expand + single-shuffle hash agg,
         # grouping_id disambiguates subtotal levels
@@ -675,6 +731,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partition-spec evolution: eager 4->8 rebucket rewrite, layout
         # + replay-idempotence asserted engine-side, data identical
         "table_rebucket": A.table_rebucket,
+        # predicate UPDATE (the DML triad's third leg): file-pruned
+        # copy-on-write rewrite, SET exprs read the pre-update row
+        "table_update_where": A.table_update_where,
+        # TPC-H Q4 (EXISTS -> LEFT SEMI hash join, no fact duplication;
+        # late-shipment conjunct rides the semi join as a filter)
+        "tpch_q4": A.tpch_q4,
+        # TPC-H Q17 (correlated scalar subquery: tiny filtered part dim
+        # broadcast BEFORE the per-part mean, fact never shuffled)
+        "tpch_q17": A.tpch_q17,
+        # Gopher repetition filter: duplicate word/2-gram/3-gram
+        # fractions + drop flag, pure codegen projection (no shuffle)
+        "repetition_stats": docs(X.repetition_stats),
+        # segment->reassemble roundtrip: ordered binary re-concat per
+        # clip (sort_array + F.aggregate), md5 vs the hex prefix of the
+        # original payload — byte-checks ordering across the shuffle
+        "clips_reassemble": clips_reassemble,
+        # two-stage salted aggregation certified equal to the plain
+        # GROUP BY (the skew rewrite, aggregate form; derived salt)
+        "skew_salted_agg": A.skew_salted_agg,
+        # LEFT ANTI join (NOT EXISTS): churned-customer probe
+        "customers_without_orders": A.customers_without_orders,
+        # RMS loudness normalization (mode='rms' of the gain kernel):
+        # accounting + pre-gain dB vs the independent features fixture;
+        # bytes parity-checked in pytest vs audio.gain_clip_rms
+        "clips_rms_normalize": clips_rms_normalize,
+        # ---- past the 50-entry window from here down: all PASS(r3) in
+        # CORRECTNESS_r03.json. (clips_rms_normalize above is entry
+        # #50, the last driver-certified row — every tier-E insertion
+        # rotates one stable r3-certified row out of the window; verify
+        # with list(queries())[:50] after ANY registry edit.)
+        # ---- tier D: honest rows-only (recall<1 is the point; each is
+        # pytest-pinned against an oracle-checked exact sibling); the
+        # driver records rows-only for these wherever they sit, so
+        # window slots go to hash-checkable rows instead
+        "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
+        "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -687,11 +779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": A.session_window,
         # A1 latest-wins dedup / tombstones
         "dedup_latest_wins": A.dedup_latest_wins,
-        # ---- past the 50-entry window from here down: all PASS(r3) in
-        # CORRECTNESS_r03.json. (dedup_latest_wins above is entry
-        # #50, the last driver-certified row — every tier-E insertion
-        # rotates one stable r3-certified row out of the window; verify
-        # with list(queries())[:50] after ANY registry edit.)
         "tombstone_latest_state": A.tombstone_latest_state,
         # §2.8 stream-stream interval join (batch form)
         "interval_join": A.interval_join,
@@ -1299,6 +1386,72 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
             GROUP BY 1
         """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1
+        """,
+        "tpch_q17": """
+            WITH hits AS (
+              SELECT p_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1' AND p_size < 15),
+            means AS (
+              SELECT p_partkey, avg(l_quantity) AS avg_qty
+              FROM hits GROUP BY 1)
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM hits JOIN means USING (p_partkey)
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        # the UNSALTED aggregate IS the oracle: certifying the salted
+        # two-stage rewrite means proving it equals the plain GROUP BY
+        "skew_salted_agg": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "customers_without_orders": """
+            SELECT c_nationkey, count(*) AS n_customers,
+                   CAST(sum(c_custkey) AS BIGINT) AS sum_custkey
+            FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1997-01-01')
+            GROUP BY 1
+        """,
+        # duplicate-fraction math mirrored list-side: range(1, n) / ws[i]
+        # are 1-based, range with start >= stop is empty (short docs)
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1]) AS g2,
+                     list_transform(range(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+              FROM w),
+            d AS (
+              SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                     round(1 - len(list_distinct(ws)) / n, 4) AS dup_word_frac,
+                     CASE WHEN len(g2) > 0
+                          THEN round(1 - len(list_distinct(g2)) / len(g2), 4)
+                          ELSE 0.0 END AS dup_2gram_frac,
+                     CASE WHEN len(g3) > 0
+                          THEN round(1 - len(list_distinct(g3)) / len(g3), 4)
+                          ELSE 0.0 END AS dup_3gram_frac
+              FROM g)
+            SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+                   (dup_2gram_frac > 0.2 OR dup_3gram_frac > 0.18) AS flagged
+            FROM d
+        """,
         "tpch_q18": """
             WITH big AS (
               SELECT l_orderkey, sum(l_quantity) AS sum_qty
@@ -1658,6 +1811,29 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(seg_len*bps*2 AS BIGINT))) AS seg_md5
             FROM e
         """,
+        # reassembled payload == hex PREFIX of the original bytes
+        # (non-overlapping tiling drops the sub-segment tail)
+        "clips_reassemble": """
+            WITH s AS (
+              SELECT clip_id, bytes,
+                     CASE WHEN codec = 'pcm16' THEN 2 ELSE 1 END AS bps,
+                     CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                          ELSE octet_length(bytes) END AS n,
+                     sr_hz*250//1000 AS seg_len
+              FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+              WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
+                AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)
+                AND sr_hz > 0 AND sr_hz*250//1000 >= 1),
+            e AS (
+              SELECT clip_id, bytes, bps, seg_len,
+                     (n - seg_len)//seg_len + 1 AS n_segments
+              FROM s WHERE n >= seg_len)
+            SELECT clip_id, CAST(n_segments AS BIGINT) AS n_segments,
+                   CAST(n_segments*seg_len AS BIGINT) AS n_samples_out,
+                   md5(substring(hex(bytes), 1,
+                                 CAST(n_segments*seg_len*bps*2 AS BIGINT))) AS reassembled_md5
+            FROM e
+        """,
         "clips_percentiles": """
             WITH s AS (
               SELECT codec,
@@ -1803,6 +1979,26 @@ def oracle_sql() -> dict[str, str]:
                        AND ts <= TIMESTAMP '2024-01-18 23:59:59.999999')
             GROUP BY event_type
         """,
+        # post-UPDATE state of the four weekly generations: rows inside
+        # the updated range carry value*2+1 and an uppercased type; the
+        # CASE mirrors update_where's single-select pre-image semantics
+        "table_update_where": """
+            WITH upd AS (
+              SELECT CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           AND ts <= TIMESTAMP '2024-01-18 23:59:59.999999'
+                          THEN upper(event_type) ELSE event_type END AS event_type,
+                     CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           AND ts <= TIMESTAMP '2024-01-18 23:59:59.999999'
+                          THEN value * 2 + 1 ELSE value END AS value
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                AND ts < TIMESTAMP '2024-02-01 00:00:00')
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM upd
+            GROUP BY event_type
+        """,
         "clips_transcode": """
             SELECT clip_id, codec,
                    CAST(CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
@@ -1813,6 +2009,20 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
             WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
               AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)
+        """,
+        # features_v4 rms_db is the independent f64 per-row computation
+        # (synth.write_clip_features) — 4 dp rounding absorbs the ~1e-9
+        # engine/fixture accumulation difference; -inf (all-silent) and
+        # NULL (decode-error / empty) rows are excluded on both sides
+        "clips_rms_normalize": """
+            SELECT c.clip_id, c.codec, f.n_samples,
+                   CAST(2 * f.n_samples AS INT) AS n_bytes_out,
+                   round(f.rms_db, 4) AS rms_db_in
+            FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet') c
+            JOIN read_parquet('/root/repo/.data/entry/clips_n500_features_v4/*.parquet') f
+              USING (clip_id)
+            WHERE f.n_samples IS NOT NULL AND f.n_samples > 0
+              AND isfinite(f.rms_db)
         """,
         "clips_gain": """
             SELECT clip_id, codec,

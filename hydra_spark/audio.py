@@ -179,6 +179,29 @@ def gain_clip(buf: bytes, codec: str, target_peak: float = 0.9) -> bytes:
     return encode_pcm16(gain_linear(decode(buf, codec), target_peak))
 
 
+def gain_linear_rms(x: np.ndarray, target_rms: float) -> np.ndarray:
+    """float32 PCM -> float64 PCM scaled so RMS == target_rms (before
+    the quantizer's [-1,1] clip). The single shared definition of the
+    RMS gain stage: squares in float64 and a SEQUENTIAL sum
+    (np.add.reduceat over the whole row — the vectorized kernel's
+    per-segment reduceat applies + in the identical order), so engine
+    output equals this oracle byte-for-byte, not just allclose.
+    All-silent input passes through unscaled."""
+    if len(x) == 0:
+        return np.empty(0, dtype=np.float64)
+    xd = x.astype(np.float64)
+    s = float(np.add.reduceat(np.square(x, dtype=np.float64), [0])[0])
+    r = float(np.sqrt(s / len(xd)))
+    if r == 0.0:
+        return xd
+    return xd * (target_rms / r)
+
+
+def gain_clip_rms(buf: bytes, codec: str, target_rms: float = 0.1) -> bytes:
+    """Per-row oracle: decode -> gain_linear_rms -> pcm16 bytes."""
+    return encode_pcm16(gain_linear_rms(decode(buf, codec), target_rms))
+
+
 def transcode_clip(buf: bytes, codec: str, to_codec: str) -> bytes:
     """Per-row oracle: decode -> encode(to_codec); same-codec rows pass
     through VERBATIM (a re-encode round trip is not the identity —

@@ -43,19 +43,43 @@ OUT_FIELDS = [
 ]
 
 
-def gain_clips(
-    df: DataFrame, target_peak: float = 0.9, max_slice_bytes: int = _MAX_SLICE
+def rms_normalize_clips(
+    df: DataFrame, target_rms: float = 0.1, max_slice_bytes: int = _MAX_SLICE
 ) -> DataFrame:
-    """bytes+codec -> pcm16 bytes_gain peak-normalized to target_peak.
+    """RMS loudness normalization: scale each clip so its root-mean-
+    square level hits ``target_rms`` (clipped to [-1,1] at the
+    quantizer, like every RMS normalizer). Same kernel as the peak
+    stage — only the per-row statistic changes: f64 squares summed with
+    ``np.add.reduceat`` (the `_group_features` expression, sequential
+    accumulation, so the per-row oracle ``audio.gain_clip_rms`` is
+    byte-identical). ``peak_in`` holds the pre-gain RMS."""
+    return gain_clips(
+        df, max_slice_bytes=max_slice_bytes, mode="rms", target_rms=target_rms
+    )
+
+
+def gain_clips(
+    df: DataFrame,
+    target_peak: float = 0.9,
+    max_slice_bytes: int = _MAX_SLICE,
+    mode: str = "peak",
+    target_rms: float = 0.1,
+) -> DataFrame:
+    """bytes+codec -> pcm16 bytes_gain normalized to target_peak (mode
+    'peak') or target_rms (mode 'rms').
 
     Output columns: every non-``bytes`` input column, plus n_samples /
-    peak_in (pre-gain peak magnitude, float64) / bytes_gain /
-    gain_error. Error rows (null bytes, unknown codec, odd pcm16
-    length) carry NULL outputs; all-silent clips pass through unscaled
-    with peak_in = 0.
+    peak_in (the stage's pre-gain statistic: peak magnitude or RMS
+    level per ``mode``, float64) / bytes_gain / gain_error. Error rows
+    (null bytes, unknown codec, odd pcm16 length) carry NULL outputs;
+    all-silent clips pass through unscaled with peak_in = 0.
     """
+    if mode not in ("peak", "rms"):
+        raise ValueError(f"mode must be 'peak' or 'rms', got {mode!r}")
     if not 0 < target_peak <= 1.0:
         raise ValueError(f"target_peak must be in (0, 1], got {target_peak}")
+    if not 0 < target_rms <= 1.0:
+        raise ValueError(f"target_rms must be in (0, 1], got {target_rms}")
     if not 1 <= max_slice_bytes <= _MAX_ROW:
         raise ValueError(f"max_slice_bytes must be in [1, {_MAX_ROW}], got {max_slice_bytes}")
     import pyarrow as pa
@@ -141,15 +165,28 @@ def gain_clips(
                         if not nz.any():
                             continue
                         bounds = np.concatenate(([0], np.cumsum(sl[nz])[:-1]))
-                        # per-row peak in float64 — the oracle's exact
-                        # expression (max of |x| after the f64 cast; abs
-                        # and max are value-exact across the cast)
-                        pk = np.maximum(
-                            np.maximum.reduceat(x, bounds),
-                            -np.minimum.reduceat(x, bounds),
-                        ).astype(np.float64)
-                        peak[a + r_c[nz]] = pk
-                        scale = np.where(pk == 0.0, 1.0, target_peak / pk)
+                        if mode == "rms":
+                            # f64 squares, sequential reduceat — the
+                            # `_group_features` expression, and the
+                            # per-row oracle's exact op (gain_clip_rms
+                            # reduceats the whole row the same way)
+                            sums = np.add.reduceat(
+                                np.square(x, dtype=np.float64), bounds
+                            )
+                            stat = np.sqrt(sums / sl[nz])
+                            target = target_rms
+                        else:
+                            # per-row peak in float64 — the oracle's
+                            # exact expression (max of |x| after the
+                            # f64 cast; abs and max are value-exact
+                            # across the cast)
+                            stat = np.maximum(
+                                np.maximum.reduceat(x, bounds),
+                                -np.minimum.reduceat(x, bounds),
+                            ).astype(np.float64)
+                            target = target_peak
+                        peak[a + r_c[nz]] = stat
+                        scale = np.where(stat == 0.0, 1.0, target / stat)
                         y = x.astype(np.float64) * np.repeat(scale, sl[nz])
                         np.clip(y, -1.0, 1.0, out=y)
                         y *= 32767.0

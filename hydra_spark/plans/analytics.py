@@ -501,6 +501,60 @@ def nation_revenue(spark, sf_dir):
     )
 
 
+def skew_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation over a skew-prone key, CERTIFIED
+    equal to the plain aggregate (the oracle is the unsalted GROUP BY).
+    The pattern operators/skew.py applies to joins, here in its
+    aggregate form: stage 1 groups on (key, salt) so one hot key's rows
+    spread across `n_salts` reducers instead of one straggler; stage 2
+    re-aggregates the n_salts partials per key — count/sum re-combine
+    losslessly (sum of sums), which is exactly what makes the rewrite
+    safe. Salt is DERIVED (pmod of event_id), never random: replays
+    and retries land rows on the same reducer, so the op stays
+    deterministic under speculative execution. At 100 TB a hot
+    event_type would cap the whole job at one reducer's throughput;
+    salted, it scales with n_salts. (Hydra analog: K7 per-format
+    fan-out, ingestors/kafka RecordSizeConstraint fan-out path.)"""
+    ev = load(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", F.pmod(F.col("event_id"), F.lit(8)).alias("_salt")
+    ).agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 2).alias("sum_value"),
+    )
+
+
+def customers_without_orders(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS): customers that never ordered —
+    churned customers with zero orders in 1996 — the
+    retention/orphan-detection probe, and the join type the engine's
+    coverage lacked next to inner/outer/semi/interval/as-of. Plan
+    shape for 100 TB: anti join on the key both sides shuffle on;
+    orders is date-filtered AT THE SCAN (pushed predicate) and
+    projected to the single join column (no payload travels), and the
+    aggregate after the anti join is a broadcast-size nation rollup."""
+    cust = load(spark, sf_dir, "customer")
+    o_keys = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_custkey")
+    )
+    loners = cust.join(
+        o_keys, cust["c_custkey"] == o_keys["o_custkey"], "left_anti"
+    )
+    return loners.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("c_custkey").alias("sum_custkey"),  # membership checksum
+    )
+
+
 def lineitem_rollup(spark, sf_dir):
     """Hierarchical subtotal aggregation — GROUP BY ROLLUP over
     (returnflag, linestatus) with grouping_id disambiguating subtotal
@@ -1111,6 +1165,65 @@ def tpch_q5(spark, sf_dir):
     )
 
 
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking), adapted to this fixture's
+    columns: the reference predicate l_commitdate < l_receiptdate
+    becomes "some lineitem shipped > 60 days after the order date" —
+    the plan-shape point is identical: a quarter-filtered orders scan
+    EXISTS-tested against the fact table. Plan shape for 100 TB: the
+    date filter is pushed to the orders parquet scan before its
+    shuffle, and the EXISTS compiles to a LEFT SEMI hash join on
+    l_orderkey — each order emits at most once, no fact-side
+    duplication, no distinct needed; the non-equi late-shipment
+    conjunct rides the semi join as a join filter, and lineitem's
+    projection is pruned to (l_orderkey, l_shipdate) at the scan."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue), adapted to this
+    fixture's columns (p_brand + p_size stand in for p_brand +
+    p_container): average yearly revenue lost if small-quantity orders
+    (< 20% of the part's mean order quantity) went unfilled. Plan
+    shape for 100 TB: the brand/size filter leaves a tiny part
+    dimension that is BROADCAST to lineitem FIRST — the correlated
+    scalar subquery (per-part mean quantity) then aggregates only the
+    ~10^-3 surviving fraction of the fact, and the mean joins back by
+    broadcast; the fact table itself is never shuffled, only its
+    filtered projection (partkey, quantity, price) flows through one
+    small exchange."""
+    part = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    hits = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    means = hits.groupBy("p_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    small = hits.join(
+        F.broadcast(means), "p_partkey"
+    ).where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+    )
+
+
 def tpch_q18(spark, sf_dir):
     """TPC-H Q18 (large-volume customers): a grouped-HAVING subquery on
     the fact table joined back to orders and customer. Plan shape for
@@ -1180,6 +1293,65 @@ def table_delete_where(spark, sf_dir):
         raise RuntimeError(f"delete_where pruning regressed: {rep}")
     if untouched_kept == 0:
         raise RuntimeError("no pre-delete file survived by identity")
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def table_update_where(spark, sf_dir):
+    """Predicate UPDATE as a file-pruned copy-on-write rewrite
+    (tables.update_where) — the DML triad's third leg next to MERGE
+    and DELETE: four weekly event generations, then UPDATE a range
+    inside week 3 (SET value = value * 2 + 1, event_type =
+    upper(event_type)) — scan planning proves the other weeks' files
+    cannot contain matches, so they are neither read nor rewritten and
+    keep their exact paths across the commit (asserted engine-side).
+    At 10^12 rows this is a backfill-correction rewrite that costs one
+    day's files, not a full-table rewrite (Hydra analog: rationalized
+    re-publish of corrected records through the ingest flow). Both SET
+    expressions read the PRE-update row (single-select semantics, see
+    update_where docstring). The oracle recomputes the post-update
+    aggregate from raw events with the same CASE logic in SQL."""
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+
+    from hydra_spark.tables import TransactionalTable
+
+    root = _os.path.join(
+        "/root/repo/.data/entry", f"upd_where_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    t = TransactionalTable(root, ["event_id"], n_buckets=8)
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    weeks = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-02-01"]
+    for i in range(4):
+        gen = ev.where((F.col("ts") >= weeks[i]) & (F.col("ts") < weeks[i + 1]))
+        t.append_dedup(spark, gen, f"week{i}")
+    before = {b: sorted(fl) for b, fl in t.manifest()["files"].items()}
+    lo = _dt.datetime(2024, 1, 16)
+    hi = _dt.datetime(2024, 1, 18, 23, 59, 59, 999999)
+    rep = t.update_where(
+        spark,
+        {"ts": (lo, hi)},
+        {
+            "value": F.col("value") * 2 + 1,
+            "event_type": F.upper(F.col("event_type")),
+        },
+    )
+    after = {b: sorted(fl) for b, fl in t.manifest()["files"].items()}
+    untouched_kept = sum(
+        1 for b in before for p in before[b] if p in set(after.get(b, []))
+    )
+    if rep["rows_updated"] == 0 or rep["files_untouched"] == 0:
+        raise RuntimeError(f"update_where pruning regressed: {rep}")
+    if untouched_kept == 0:
+        raise RuntimeError("no non-matching file survived by identity")
     return (
         t.read(spark)
         .groupBy("event_type")

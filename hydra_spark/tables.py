@@ -35,7 +35,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 class SchemaCompatError(ValueError):
@@ -828,6 +828,117 @@ class TransactionalTable:
         )
         return {
             "rows_deleted": int(n_del),
+            "files_rewritten": len(files),
+            "files_untouched": total - len(files),
+            "buckets_touched": len(cands),
+        }
+
+    def update_where(
+        self, spark: SparkSession, predicates: dict, set_exprs: dict
+    ) -> dict:
+        """Predicate UPDATE as a file-pruned copy-on-write rewrite —
+        the Iceberg ``UPDATE t SET c = expr WHERE lo <= col <= hi``
+        analog, completing the DML triad next to ``merge_upsert`` and
+        ``delete_where`` (Hydra analog: rationalized-record republish,
+        kafka IngestionFlow re-ingest semantics). Same range-conjunct
+        predicate language and the same scan-planning contract as
+        ``delete_where``: files whose manifest stats prove no row can
+        match are never opened and keep their exact paths in the new
+        snapshot, so updating one day inside years of history rewrites
+        that day's files only. ``set_exprs`` maps column name ->
+        pyspark Column (or literal); expressions may reference other
+        columns of the row (e.g. ``F.col("value") * 2``) and are
+        applied ONLY to matching rows — non-matching rows in admitted
+        files are rewritten byte-identical.
+
+        Key columns cannot be SET: changing a key changes the row's
+        bucket route and its MERGE identity — that operation is a
+        delete+insert, not an update — so it raises ``ValueError``
+        (same reasoning as rebucket()'s eager rewrite: every commit
+        path must agree on where a key lives). NULL predicate semantics
+        match ``plan_files`` (a range never admits NULL rows).
+        Retained snapshots still see pre-update values (time travel),
+        ``committed_batches`` carries unchanged, and ``read_changes``
+        across the commit emits one 'update' row per changed key.
+
+        Returns {"rows_updated", "files_rewritten", "files_untouched",
+        "buckets_touched"}.
+        """
+        bad = sorted(set(set_exprs) & set(self.key_cols))
+        if bad:
+            raise ValueError(
+                f"cannot SET key column(s) {bad}: key updates change bucket "
+                "routing and merge identity — delete + re-insert instead"
+            )
+        m = self.manifest()
+        admitted, total = self.plan_files(predicates)
+        admitted_set = set(admitted)
+        cands = {
+            b: [p for p in fl if p in admitted_set]
+            for b, fl in m["files"].items()
+            if any(p in admitted_set for p in fl)
+        }
+        if not cands:
+            return {
+                "rows_updated": 0, "files_rewritten": 0,
+                "files_untouched": total, "buckets_touched": 0,
+            }
+        files = [p for fl in cands.values() for p in fl]
+        df = self._read_files(spark, files, m)
+        match = F.lit(True)
+        for c, (lo, hi) in predicates.items():
+            if lo is not None:
+                match = match & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                match = match & (F.col(c) <= F.lit(hi))
+        match = F.coalesce(match, F.lit(False))
+        n_upd = df.where(match).count()
+        if n_upd == 0:  # stats admitted files but the residual hit nothing
+            return {
+                "rows_updated": 0, "files_rewritten": 0,
+                "files_untouched": total, "buckets_touched": 0,
+            }
+        missing = sorted(set(set_exprs) - set(df.columns))
+        if missing:
+            raise ValueError(f"SET column(s) {missing} not in table schema")
+        sets = {
+            c: (e if isinstance(e, Column) else F.lit(e))
+            for c, e in set_exprs.items()
+        }
+        # one select, every SET expr resolved against the PRE-update row
+        # simultaneously: SET a = b, b = a swaps (SQL UPDATE semantics),
+        # never sequential assignment
+        out = df.select(
+            *[
+                F.when(match, sets[c]).otherwise(F.col(c)).alias(c)
+                if c in sets
+                else F.col(c)
+                for c in df.columns
+            ]
+        ).withColumn("_bucket", self._bucket_col())
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.path, "data", f"update-{commit_id}")
+        out.repartition(len(cands), "_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(out_dir)
+        written = self._scan_bucket_output(out_dir)
+        new_files = {k: list(v) for k, v in m["files"].items()}
+        for b, fl in cands.items():
+            untouched = [p for p in new_files[b] if p not in admitted_set]
+            new_files[b] = untouched + written.get(b, [])
+        self._record_file_schemas(m, new_files)
+        self._write_manifest(
+            {
+                **m,
+                "version": m["version"] + 1,
+                "files": new_files,
+                "committed_batches": m["committed_batches"],
+                "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
+            }
+        )
+        return {
+            "rows_updated": int(n_upd),
             "files_rewritten": len(files),
             "files_untouched": total - len(files),
             "buckets_touched": len(cands),

@@ -230,3 +230,65 @@ def test_delete_where_null_rows_survive_and_nomatch_is_noop(spark, tmp_path):
         "files_untouched": rep2["files_untouched"], "buckets_touched": 0,
     }
     assert t.manifest()["version"] == v1 and v1 > v
+
+
+def test_update_where_rewrites_only_admitted_files(spark, tmp_path):
+    """Ranged UPDATE rewrites only the files whose stats admit the
+    range; non-admitted files keep their exact paths, SET expressions
+    apply to matching rows only, and time travel + CDF see the update
+    correctly."""
+    t = _mk(spark, tmp_path / "t")
+    v0 = t.manifest()["version"]
+    before = {b: set(fl) for b, fl in t.manifest()["files"].items()}
+    n_before = t.read(spark).count()
+    rep = t.update_where(
+        spark, {"v": (1200, 1299)}, {"v": F.col("v") + 100000}
+    )
+    assert rep["rows_updated"] == 100
+    assert rep["files_untouched"] > 0 and rep["files_rewritten"] > 0
+    after = {b: set(fl) for b, fl in t.manifest()["files"].items()}
+    admitted, _ = t.plan_files({"v": (1200, 1299)}, version=v0)
+    for b in before:
+        assert before[b] - set(admitted) <= after[b]
+    cur = t.read(spark)
+    assert cur.count() == n_before  # UPDATE never changes cardinality
+    assert cur.where(F.col("v").between(1200, 1299)).count() == 0
+    assert cur.where(F.col("v").between(101200, 101299)).count() == 100
+    # non-matching rows in rewritten files are untouched
+    assert cur.where(F.col("v").between(1000, 1199)).count() == 200
+    # time travel: pre-update snapshot still has the old values
+    assert t.read(spark, version=v0).where(
+        F.col("v").between(1200, 1299)
+    ).count() == 100
+    # CDF across the update: exactly the updated keys, all 'update',
+    # carrying the NEW values
+    ch = t.read_changes(spark, from_version=v0).collect()
+    assert len(ch) == 100 and all(r._change_type == "update" for r in ch)
+    assert {int(r.v) for r in ch} == set(range(101200, 101300))
+
+
+def test_update_where_preimage_swap_and_guards(spark, tmp_path):
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=2)
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("b", None, 20), ("c", 50, 30)],
+        "k string, v long, w long",
+    )
+    t.append_dedup(spark, df, "g0")
+    # SET v = w, w = v must SWAP (single-select pre-image semantics,
+    # not sequential assignment); NULL range rows never match
+    rep = t.update_where(
+        spark, {"v": (0, 100)}, {"v": F.col("w"), "w": F.col("v")}
+    )
+    assert rep["rows_updated"] == 2
+    got = {r.k: (r.v, r.w) for r in t.read(spark).collect()}
+    assert got == {"a": (10, 1), "b": (None, 20), "c": (30, 50)}
+    # key columns cannot be SET
+    with pytest.raises(ValueError, match="key column"):
+        t.update_where(spark, {"v": (0, 100)}, {"k": F.lit("x")})
+    # unknown SET column is loud
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.update_where(spark, {"v": (0, 100)}, {"nope": F.lit(1)})
+    # stats admit nothing -> no-op, no new version
+    v1 = t.manifest()["version"]
+    rep2 = t.update_where(spark, {"v": (9000, 9999)}, {"w": F.lit(0)})
+    assert rep2["rows_updated"] == 0 and t.manifest()["version"] == v1

@@ -133,3 +133,48 @@ def test_gain_and_mask_streaming_match_batch(spark, clips, tmp_path):
     streamed = {(c, outs["g"][c], outs["m"][c]) for c in outs["g"]}
     assert streamed == batch and len(batch) > 50
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_rms_normalize_parity(spark):
+    """RMS mode: byte parity vs audio.gain_clip_rms, peak_in carries
+    the pre-gain RMS, silent passthrough, achieved RMS ~= target
+    (modulo the [-1,1] clip + 1 LSB quantization)."""
+    from hydra_spark.functions.gain import rms_normalize_clips
+
+    target = 0.1
+    rows = _mk_rows()
+    df = spark.createDataFrame(rows, schema=SCHEMA).repartition(3)
+    got = {r["clip_id"]: r for r in rms_normalize_clips(df, target_rms=target).collect()}
+    assert len(got) == len(rows)
+    for cid, buf, _, codec in rows:
+        g = got[cid]
+        if cid.startswith("e-"):
+            assert g["gain_error"] is not None and g["bytes_gain"] is None
+            continue
+        assert g["gain_error"] is None
+        expected = audio.gain_clip_rms(bytes(buf), codec, target)
+        assert bytes(g["bytes_gain"]) == expected, (cid, codec)
+        x = audio.decode(bytes(buf), codec)
+        if len(x) == 0:
+            assert g["peak_in"] == 0.0
+            continue
+        xd = x.astype(np.float64)
+        exp_rms = float(np.sqrt(np.add.reduceat(np.square(x, dtype=np.float64), [0])[0] / len(xd)))
+        assert g["peak_in"] == exp_rms
+        if exp_rms > 0:
+            y = np.frombuffer(bytes(g["bytes_gain"]), dtype="<i2") / 32767.0
+            got_rms = float(np.sqrt(np.mean(np.square(y))))
+            # amp-0.2 rows scale up without clipping; amp-0.95 rows were
+            # ALREADY louder than target so they scale down — both land
+            # on target within quantization error
+            assert abs(got_rms - target) < 1e-3, (cid, got_rms)
+
+
+def test_gain_mode_validation(spark):
+    from hydra_spark.functions.gain import gain_clips as gc
+
+    df = spark.createDataFrame(_mk_rows(), schema=SCHEMA)
+    with pytest.raises(ValueError, match="mode"):
+        gc(df, mode="loudness")
+    with pytest.raises(ValueError, match="target_rms"):
+        gc(df, mode="rms", target_rms=0.0)

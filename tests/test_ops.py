@@ -541,3 +541,36 @@ def test_pii_redact_counts_and_placeholders(spark):
     assert got[3].n_emails == 2 and got[3].text_redacted == "double mail <EMAIL> <EMAIL>"
     assert (got[4].n_emails, got[4].n_phones) == (1, 1)
     assert got[4].text_redacted == "mail <EMAIL> and call <PHONE>"
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed duplicate fractions, including the short-doc edge
+    cases where sequence() would otherwise flip to a descending range."""
+    from hydra_spark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),    # words: 5, distinct 2 -> dup 0.6
+                                  # 2grams: ab ba ab ba -> dup 0.5
+                                  # 3grams: aba bab aba -> dup 1/3
+            (2, "x"),             # 1 word: no 2/3-grams -> 0.0, not flagged
+            (3, "x y"),           # 2 words: one 2gram, no 3grams
+            (4, "q q q q q q"),   # total repetition -> all fracs high, flagged
+            (5, "a b c d e f"),   # all unique -> 0.0 everywhere
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.dup_word_frac, r1.dup_2gram_frac) == (5, 0.6, 0.5)
+    assert abs(r1.dup_3gram_frac - round(1 - 2 / 3, 4)) < 1e-9
+    assert r1.flagged
+    assert (got[2].dup_2gram_frac, got[2].dup_3gram_frac, bool(got[2].flagged)) == (0.0, 0.0, False)
+    assert got[3].dup_2gram_frac == 0.0 and got[3].dup_3gram_frac == 0.0
+    r4 = got[4]
+    assert r4.dup_word_frac == round(1 - 1 / 6, 4) and r4.dup_2gram_frac == 0.8
+    assert r4.flagged
+    r5 = got[5]
+    assert (r5.dup_word_frac, r5.dup_2gram_frac, r5.dup_3gram_frac, bool(r5.flagged)) == (
+        0.0, 0.0, 0.0, False,
+    )

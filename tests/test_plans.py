@@ -138,3 +138,41 @@ def test_tpch_q18_single_fact_shuffle(spark):
     assert p.count("BroadcastHashJoin") >= 2
     # partial + final aggregate around the lineitem exchange
     assert p.count("HashAggregate") >= 2
+
+
+def test_tpch_q4_semi_join_no_duplication(spark):
+    """Q4: EXISTS must compile to a LEFT SEMI join (no fact-side row
+    duplication, no distinct), with the quarter filter pushed to the
+    orders parquet scan and lineitem's projection pruned to the two
+    columns the semi test needs."""
+    p = plan_of(A.tpch_q4(spark, SF))
+    assert "LeftSemi" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+    assert "Distinct" not in p
+    # lineitem scan reads only join key + shipdate
+    assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp" in p
+
+
+def test_tpch_q17_broadcasts_part_no_fact_shuffle(spark):
+    """Q17: the brand/size-filtered part dim must broadcast BEFORE the
+    per-part mean, so only the ~10^-3 surviving fact fraction flows
+    through exchanges — the full lineitem must never sort-merge."""
+    p = plan_of(A.tpch_q17(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_skew_salted_agg_two_stage(spark):
+    """The salted rewrite must keep exactly one shuffle boundary more
+    than the plain aggregate (partials on (key,salt), re-agg on key) —
+    and no row-at-a-time Python anywhere."""
+    p = plan_of(A.skew_salted_agg(spark, SF))
+    assert p.count("HashAggregate") >= 3  # partial+final × two stages, AQE-merged
+    assert "pmod" in p.lower()
+
+
+def test_customers_without_orders_anti_join(spark):
+    p = plan_of(A.customers_without_orders(spark, SF))
+    assert "LeftAnti" in p
+    # orders scan pruned to the join column with the date filter pushed
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p

@@ -1429,7 +1429,8 @@ def oracle_sql() -> dict[str, str]:
         # are 1-based, range with start >= stop is empty (short docs)
         "repetition_stats": """
             WITH w AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+              SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws
               FROM documents),
             g AS (
               SELECT doc_id, ws, len(ws) AS n,

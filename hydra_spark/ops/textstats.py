@@ -215,7 +215,9 @@ def repetition_stats(
     100 TB this runs at scan speed and its output feeds the quality
     gate exactly like ``quality_score``."""
     df = _spread(df, id_col)
-    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # NULL text behaves like empty (size(split(NULL)) is -1 in Spark
+    # but NULL in the DuckDB oracle — coalesce on BOTH sides instead)
+    w = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
     n = F.size(w)
 
     def grams(k: int):

@@ -753,6 +753,57 @@ class TransactionalTable:
             "files_after": sum(len(v) for v in new_files.values()),
         }
 
+    def _range_match(self, predicates: dict):
+        """NULL-rejecting range-conjunct Column — THE predicate language
+        shared by the DML rewrites (same semantics as plan_files /
+        read_where: a range never matches NULL). One definition so
+        DELETE and UPDATE can never diverge on what 'matches' means."""
+        match = F.lit(True)
+        for c, (lo, hi) in predicates.items():
+            if lo is not None:
+                match = match & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                match = match & (F.col(c) <= F.lit(hi))
+        return F.coalesce(match, F.lit(False))
+
+    def _admitted_by_bucket(self, m: dict, admitted_set: set) -> dict:
+        return {
+            b: [p for p in fl if p in admitted_set]
+            for b, fl in m["files"].items()
+            if any(p in admitted_set for p in fl)
+        }
+
+    def _commit_cow_rewrite(
+        self, m: dict, cands: dict, admitted_set: set, out: DataFrame, prefix: str
+    ) -> None:
+        """Shared copy-on-write commit for the predicate DML rewrites:
+        write ``out`` (already carrying ``_bucket``) as the replacement
+        for the admitted files, splice non-admitted files through by
+        path identity, stamp schemas, commit the next manifest
+        version. DELETE and UPDATE differ only in how they derive
+        ``out``; the commit protocol must stay byte-identical."""
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.path, "data", f"{prefix}-{commit_id}")
+        out.repartition(len(cands), "_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(out_dir)
+        written = self._scan_bucket_output(out_dir)
+        new_files = {k: list(v) for k, v in m["files"].items()}
+        for b in cands:
+            untouched = [p for p in new_files[b] if p not in admitted_set]
+            new_files[b] = untouched + written.get(b, [])
+        self._record_file_schemas(m, new_files)
+        self._write_manifest(
+            {
+                **m,
+                "version": m["version"] + 1,
+                "files": new_files,
+                "committed_batches": m["committed_batches"],
+                "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
+            }
+        )
+
     def delete_where(self, spark: SparkSession, predicates: dict) -> dict:
         """Predicate DELETE as a file-pruned rewrite — the Iceberg
         copy-on-write ``DELETE FROM t WHERE lo <= col <= hi`` analog
@@ -778,11 +829,7 @@ class TransactionalTable:
         m = self.manifest()
         admitted, total = self.plan_files(predicates)
         admitted_set = set(admitted)
-        cands = {
-            b: [p for p in fl if p in admitted_set]
-            for b, fl in m["files"].items()
-            if any(p in admitted_set for p in fl)
-        }
+        cands = self._admitted_by_bucket(m, admitted_set)
         if not cands:
             return {
                 "rows_deleted": 0, "files_rewritten": 0,
@@ -790,42 +837,15 @@ class TransactionalTable:
             }
         files = [p for fl in cands.values() for p in fl]
         df = self._read_files(spark, files, m)
-        match = F.lit(True)
-        for c, (lo, hi) in predicates.items():
-            if lo is not None:
-                match = match & (F.col(c) >= F.lit(lo))
-            if hi is not None:
-                match = match & (F.col(c) <= F.lit(hi))
-        n_del = df.where(F.coalesce(match, F.lit(False))).count()
+        match = self._range_match(predicates)
+        n_del = df.where(match).count()
         if n_del == 0:  # stats admitted files but the residual hit nothing
             return {
                 "rows_deleted": 0, "files_rewritten": 0,
                 "files_untouched": total, "buckets_touched": 0,
             }
-        survivors = df.where(~F.coalesce(match, F.lit(False))).withColumn(
-            "_bucket", self._bucket_col()
-        )
-        commit_id = uuid.uuid4().hex[:12]
-        out_dir = os.path.join(self.path, "data", f"delete-{commit_id}")
-        survivors.repartition(len(cands), "_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("_bucket").parquet(out_dir)
-        written = self._scan_bucket_output(out_dir)
-        new_files = {k: list(v) for k, v in m["files"].items()}
-        for b, fl in cands.items():
-            untouched = [p for p in new_files[b] if p not in admitted_set]
-            new_files[b] = untouched + written.get(b, [])
-        self._record_file_schemas(m, new_files)
-        self._write_manifest(
-            {
-                **m,
-                "version": m["version"] + 1,
-                "files": new_files,
-                "committed_batches": m["committed_batches"],
-                "key_cols": self.key_cols,
-                "n_buckets": self.n_buckets,
-            }
-        )
+        survivors = df.where(~match).withColumn("_bucket", self._bucket_col())
+        self._commit_cow_rewrite(m, cands, admitted_set, survivors, "delete")
         return {
             "rows_deleted": int(n_del),
             "files_rewritten": len(files),
@@ -855,8 +875,17 @@ class TransactionalTable:
         bucket route and its MERGE identity — that operation is a
         delete+insert, not an update — so it raises ``ValueError``
         (same reasoning as rebucket()'s eager rewrite: every commit
-        path must agree on where a key lives). NULL predicate semantics
-        match ``plan_files`` (a range never admits NULL rows).
+        path must agree on where a key lives). SET names are validated
+        against the registered schema BEFORE scan planning (a typo must
+        raise even when the predicate matches nothing), a SET whose
+        when/otherwise coercion would change the COLUMN's type raises
+        ``SchemaCompatError`` (the silent-corruption path: files
+        written under a widened type read back mangled through the
+        registered cast), and ANSI value casts that fail (e.g. 'x'
+        into a numeric column) abort the rewrite before the manifest
+        commit — the table is never left half-updated. NULL predicate
+        semantics match ``plan_files`` (a range never admits NULL
+        rows).
         Retained snapshots still see pre-update values (time travel),
         ``committed_batches`` carries unchanged, and ``read_changes``
         across the commit emits one 'update' row per changed key.
@@ -870,14 +899,21 @@ class TransactionalTable:
                 f"cannot SET key column(s) {bad}: key updates change bucket "
                 "routing and merge identity — delete + re-insert instead"
             )
+        # validate SET names UP FRONT against the registered schema when
+        # one exists — a typo'd column must raise even when the
+        # predicate matches nothing (a no-op return would mask it until
+        # production data enters the range); schema-less tables are
+        # re-checked against the data columns after the read below
+        latest = self.schema_version()
+        if latest is not None:
+            known = {f["name"] for f in latest["fields"]}
+            missing = sorted(set(set_exprs) - known)
+            if missing:
+                raise ValueError(f"SET column(s) {missing} not in table schema")
         m = self.manifest()
         admitted, total = self.plan_files(predicates)
         admitted_set = set(admitted)
-        cands = {
-            b: [p for p in fl if p in admitted_set]
-            for b, fl in m["files"].items()
-            if any(p in admitted_set for p in fl)
-        }
+        cands = self._admitted_by_bucket(m, admitted_set)
         if not cands:
             return {
                 "rows_updated": 0, "files_rewritten": 0,
@@ -885,22 +921,10 @@ class TransactionalTable:
             }
         files = [p for fl in cands.values() for p in fl]
         df = self._read_files(spark, files, m)
-        match = F.lit(True)
-        for c, (lo, hi) in predicates.items():
-            if lo is not None:
-                match = match & (F.col(c) >= F.lit(lo))
-            if hi is not None:
-                match = match & (F.col(c) <= F.lit(hi))
-        match = F.coalesce(match, F.lit(False))
-        n_upd = df.where(match).count()
-        if n_upd == 0:  # stats admitted files but the residual hit nothing
-            return {
-                "rows_updated": 0, "files_rewritten": 0,
-                "files_untouched": total, "buckets_touched": 0,
-            }
         missing = sorted(set(set_exprs) - set(df.columns))
         if missing:
             raise ValueError(f"SET column(s) {missing} not in table schema")
+        match = self._range_match(predicates)
         sets = {
             c: (e if isinstance(e, Column) else F.lit(e))
             for c, e in set_exprs.items()
@@ -915,28 +939,30 @@ class TransactionalTable:
                 else F.col(c)
                 for c in df.columns
             ]
-        ).withColumn("_bucket", self._bucket_col())
-        commit_id = uuid.uuid4().hex[:12]
-        out_dir = os.path.join(self.path, "data", f"update-{commit_id}")
-        out.repartition(len(cands), "_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("_bucket").parquet(out_dir)
-        written = self._scan_bucket_output(out_dir)
-        new_files = {k: list(v) for k, v in m["files"].items()}
-        for b, fl in cands.items():
-            untouched = [p for p in new_files[b] if p not in admitted_set]
-            new_files[b] = untouched + written.get(b, [])
-        self._record_file_schemas(m, new_files)
-        self._write_manifest(
-            {
-                **m,
-                "version": m["version"] + 1,
-                "files": new_files,
-                "committed_batches": m["committed_batches"],
-                "key_cols": self.key_cols,
-                "n_buckets": self.n_buckets,
-            }
         )
+        # a SET expr must not change a column's TYPE: when/otherwise
+        # would silently coerce (long -> string, ...) and the rewritten
+        # files would read back NULL through the registered schema's
+        # cast — the same silent corruption every explicit evolution
+        # path guards with SchemaCompatError
+        changed = [
+            (a.name, str(a.dataType), str(b.dataType))
+            for a, b in zip(df.schema.fields, out.schema.fields)
+            if a.dataType != b.dataType
+        ]
+        if changed:
+            raise SchemaCompatError(
+                f"SET expression changes column type(s) {changed}; "
+                "register a schema evolution instead"
+            )
+        n_upd = df.where(match).count()
+        if n_upd == 0:  # stats admitted files but the residual hit nothing
+            return {
+                "rows_updated": 0, "files_rewritten": 0,
+                "files_untouched": total, "buckets_touched": 0,
+            }
+        out = out.withColumn("_bucket", self._bucket_col())
+        self._commit_cow_rewrite(m, cands, admitted_set, out, "update")
         return {
             "rows_updated": int(n_upd),
             "files_rewritten": len(files),

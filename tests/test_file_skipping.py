@@ -292,3 +292,41 @@ def test_update_where_preimage_swap_and_guards(spark, tmp_path):
     v1 = t.manifest()["version"]
     rep2 = t.update_where(spark, {"v": (9000, 9999)}, {"w": F.lit(0)})
     assert rep2["rows_updated"] == 0 and t.manifest()["version"] == v1
+
+
+def test_update_where_guards_fire_early_and_on_type_change(spark, tmp_path):
+    from hydra_spark.tables import SchemaCompatError
+
+    t = TransactionalTable(str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.register_schema(
+        [{"name": "k", "type": "string"}, {"name": "v", "type": "bigint"}]
+    )
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    t.append_dedup(spark, df, "g0")
+    # typo'd SET column must raise EVEN when the predicate matches no
+    # file (schema-registered tables validate before scan planning) —
+    # a silent no-op would mask the typo until data entered the range
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.update_where(spark, {"v": (9000, 9999)}, {"vaule": F.lit(1)})
+    # a column-type-changing SET (here: int -> bigint widening via the
+    # when/otherwise coercion) must raise instead of silently rewriting
+    # files under a schema the registered cast would mangle
+    t2 = TransactionalTable(str(tmp_path / "t2"), ["k"], n_buckets=2)
+    t2.register_schema(
+        [{"name": "k", "type": "string"}, {"name": "v", "type": "int"}]
+    )
+    t2.append_dedup(
+        spark, spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), "g0"
+    )
+    with pytest.raises(SchemaCompatError, match="changes column type"):
+        t2.update_where(
+            spark, {"v": (0, 10)}, {"v": F.col("v").cast("bigint") + 1}
+        )
+    # an ANSI-invalid value cast (string 'x' into a numeric column)
+    # fails LOUDLY at the rewrite, before the manifest commit — the
+    # table must be unchanged
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|invalid input"):
+        t.update_where(spark, {"v": (0, 10)}, {"v": F.lit("x")})
+    for tab in (t, t2):
+        assert tab.read(spark).count() == 2
+        assert {r.v for r in tab.read(spark).collect()} == {1, 2}

@@ -47,7 +47,18 @@ def log(msg: str) -> None:
 # a bench pass started under that load is wasted wall-clock at best and
 # a dead worker at worst (observed: concurrent pytest killed the c4
 # worker mid-warmup). The watchdog never probes or fires while it's set.
+# The flag is TOUCHED per work burst, so a stale mtime means the session
+# died (or forgot) — ignore flags older than BUSY_TTL_S or one stale
+# file starves the watchdog for its whole deadline (observed: >1 h).
 BUSY_FLAG = "/tmp/hydra_builder_busy"
+BUSY_TTL_S = 30 * 60
+
+
+def _builder_busy() -> bool:
+    try:
+        return time.time() - os.path.getmtime(BUSY_FLAG) < BUSY_TTL_S
+    except OSError:  # flag absent (or vanished mid-check)
+        return False
 
 
 def probe(lo: int, hi: int) -> tuple[float, float]:
@@ -96,7 +107,7 @@ def main() -> None:
     if len(sys.argv) > 2:
         remaining = {s: PAIRS[s] for s in sys.argv[2:]}
     while remaining and time.time() < deadline:
-        if os.path.exists(BUSY_FLAG):
+        if _builder_busy():
             log("builder busy flag set; skipping probe")
             time.sleep(120)
             continue
@@ -105,7 +116,7 @@ def main() -> None:
             clean = ctrl_r >= ctrl_min and bw_r >= bw_min
             log(f"pair {spec}: ctrl x{ctrl_r:.2f} bw x{bw_r:.2f} -> "
                 f"{'RUN' if clean else 'wait'}")
-            if not clean or os.path.exists(BUSY_FLAG):
+            if not clean or _builder_busy():
                 continue
             eff = run_pair(spec)
             log(f"pair {spec}: eff={eff}")

@@ -244,6 +244,45 @@ def clips_rms_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def codec_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 dynamic broadcast routing (operators/enrich.py), batch form:
+    the ingestor registry becomes a transactional routing table
+    (pcm16 -> pcm-pipe enabled, ulaw -> g711-pipe enabled, alaw ->
+    g711-pipe DISABLED — the registered-but-ignoring ingestor), clips
+    route via broadcast join, disabled/unknown keys fall to 'ignore'
+    (Hydra: IngestionSupervisor.scala:47-59 Publish broadcast +
+    KafkaIngestor.scala:50-55 Join/Ignore reply). The STREAMING form —
+    per-micro-batch registry re-read, so a MERGE re-routes the next
+    trigger without restart — is pinned by tests/test_routing.py; this
+    row certifies the join/ignore semantics against the SQL oracle's
+    CASE routing."""
+    import shutil as _shutil
+
+    from hydra_spark.operators.enrich import route_with_registry
+    from hydra_spark.tables import TransactionalTable
+
+    root = "/root/repo/.data/entry/route_registry"
+    _shutil.rmtree(root, ignore_errors=True)
+    reg = TransactionalTable(root, ["codec"], n_buckets=1)
+    reg.append_dedup(
+        spark,
+        spark.createDataFrame(
+            [
+                ("pcm16", "pcm-pipe", True),
+                ("ulaw", "g711-pipe", True),
+                ("alaw", "g711-pipe", False),
+            ],
+            "codec string, route string, enabled boolean",
+        ),
+        "routes-v1",
+    )
+    routed = route_with_registry(_clips(spark), spark, reg)
+    return routed.groupBy("codec", "route").agg(
+        F.count("*").alias("n_clips"),
+        F.sum(F.octet_length("bytes")).alias("n_bytes"),
+    )
+
+
 def clips_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec transcode to ulaw (functions/transcode.py) — storage-side
     normalization of a mixed-codec corpus. SQL-checkable projection:
@@ -674,7 +713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_dims": media_feature_dims,
         "frame_sample": frame_sample,
         "clips_sample_rollup": clips_sample_rollup,
-        "clips_transcript_normalize": clips_transcript_normalize,
+        # (clips_transcript_normalize — PASS(r2), engine path shared
+        # with in-window transcript_normalize_docs — rotated past the
+        # window to make room for codec_routing; see marker below)
         # (tier D — the two honest rows-only ANN rows — moved past the
         # 50-entry window in round 4: the driver records rows-only for
         # them wherever they sit, so window slots go to hash-checkable
@@ -752,6 +793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": A.skew_salted_agg,
         # LEFT ANTI join (NOT EXISTS): churned-customer probe
         "customers_without_orders": A.customers_without_orders,
+        # R1 dynamic broadcast routing: registry-table join/ignore,
+        # streaming per-batch re-read pinned in tests/test_routing.py
+        "codec_routing": codec_routing,
         # RMS loudness normalization (mode='rms' of the gain kernel):
         # accounting + pre-gain dB vs the independent features fixture;
         # bytes parity-checked in pytest vs audio.gain_clip_rms
@@ -767,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window slots go to hash-checkable rows instead
         "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
         "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
+        # tier C row rotated out for codec_routing (PASS r2, shared path)
+        "clips_transcript_normalize": clips_transcript_normalize,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -2010,6 +2056,19 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
             WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
               AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)
+        """,
+        # the registry the row commits is deterministic, so the oracle
+        # is a CASE over the same routes; disabled (alaw) and unknown
+        # keys both land on 'ignore'
+        "codec_routing": """
+            SELECT codec,
+                   CASE WHEN codec = 'pcm16' THEN 'pcm-pipe'
+                        WHEN codec = 'ulaw' THEN 'g711-pipe'
+                        ELSE 'ignore' END AS route,
+                   count(*) AS n_clips,
+                   CAST(sum(octet_length(bytes)) AS BIGINT) AS n_bytes
+            FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+            GROUP BY 1, 2
         """,
         # features_v4 rms_db is the independent f64 per-row computation
         # (synth.write_clip_features) — 4 dp rounding absorbs the ~1e-9

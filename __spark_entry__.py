@@ -283,6 +283,39 @@ def codec_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection (functions/vad.py):
+    per-clip frame / speech-frame / segment / longest-run counts at
+    20 ms frames, eps = the trim stage's SILENCE_EPS. The oracle is the
+    independently-computed per-row fixture (naive frame loop
+    ``vad_clip`` via synth.write_clip_vad — not the vectorized
+    reshape/axis-max kernel) over the SAME float32 samples and eps, so
+    every output is integer-exact, no rounding. Error rows
+    (null/odd/unknown-codec) are excluded on both sides (NULL fixture
+    counts)."""
+    from hydra_spark import synth
+    from hydra_spark.functions.vad import vad_clips
+
+    clips = _clips(spark)
+    path = os.path.join("/root/repo/.data/entry", f"clips_n{_CLIPS_N}")
+    vpath = path + "_vad_v1"
+    stamp = os.path.join(vpath, "_source_mtime")
+    want = str(int(os.path.getmtime(os.path.join(path, "_SUCCESS"))))
+    fresh = (
+        os.path.exists(os.path.join(vpath, "_SUCCESS"))
+        and os.path.exists(stamp)
+        and open(stamp).read() == want
+    )
+    if not fresh:
+        synth.write_clip_vad(spark, path, vpath)  # mode=overwrite
+        with open(stamp, "w") as f:
+            f.write(want)
+    out = vad_clips(clips, frame_ms=20).where(F.col("vad_error").isNull())
+    return out.select(
+        "clip_id", "n_frames", "n_speech_frames", "n_segments", "longest_run"
+    )
+
+
 def clips_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec transcode to ulaw (functions/transcode.py) — storage-side
     normalization of a mixed-codec corpus. SQL-checkable projection:
@@ -712,10 +745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_metadata": docs(X.binary_metadata),
         "media_feature_dims": media_feature_dims,
         "frame_sample": frame_sample,
-        "clips_sample_rollup": clips_sample_rollup,
-        # (clips_transcript_normalize — PASS(r2), engine path shared
-        # with in-window transcript_normalize_docs — rotated past the
-        # window to make room for codec_routing; see marker below)
+        # (clips_sample_rollup and clips_transcript_normalize — both
+        # PASS(r2) with engine paths shared by in-window siblings
+        # (clips_window_rollup, transcript_normalize_docs) — rotated
+        # past the window for codec_routing + clips_vad; marker below)
         # (tier D — the two honest rows-only ANN rows — moved past the
         # 50-entry window in round 4: the driver records rows-only for
         # them wherever they sit, so window slots go to hash-checkable
@@ -796,6 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R1 dynamic broadcast routing: registry-table join/ignore,
         # streaming per-batch re-read pinned in tests/test_routing.py
         "codec_routing": codec_routing,
+        # energy-threshold VAD: integer-exact frame/segment counts vs
+        # the naive per-row fixture loop (same f32 samples, same eps)
+        "clips_vad": clips_vad,
         # RMS loudness normalization (mode='rms' of the gain kernel):
         # accounting + pre-gain dB vs the independent features fixture;
         # bytes parity-checked in pytest vs audio.gain_clip_rms
@@ -811,7 +847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window slots go to hash-checkable rows instead
         "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
         "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
-        # tier C row rotated out for codec_routing (PASS r2, shared path)
+        # tier C rows rotated out for codec_routing/clips_vad (PASS r2,
+        # engine paths shared with in-window siblings)
+        "clips_sample_rollup": clips_sample_rollup,
         "clips_transcript_normalize": clips_transcript_normalize,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
@@ -2056,6 +2094,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
             WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
               AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)
+        """,
+        # integer-exact: fixture computed by the naive per-row frame
+        # loop over the same f32 samples/eps; error rows are NULL there
+        "clips_vad": """
+            SELECT clip_id, n_frames, n_speech_frames, n_segments, longest_run
+            FROM read_parquet('/root/repo/.data/entry/clips_n500_vad_v1/*.parquet')
+            WHERE n_frames IS NOT NULL
         """,
         # the registry the row commits is deterministic, so the oracle
         # is a CASE over the same routes; disabled (alaw) and unknown

@@ -234,6 +234,49 @@ def write_clip_features(
     return out_dir
 
 
+def write_clip_vad(
+    spark: SparkSession, clips_dir: str, out_dir: str, frame_ms: int = 20
+) -> str:
+    """Per-clip EXPECTED VAD counts for the fixture oracle, computed by
+    the naive per-row frame loop (functions/vad.py ``vad_clip``) — NOT
+    the engine's reshaped axis-max kernel. Outputs are integers over
+    the identical float32 samples and eps, so engine/fixture equality
+    is exact, no rounding."""
+    from hydra_spark.functions.vad import vad_clip
+
+    cols = ["clip_id", "n_frames", "n_speech_frames", "n_segments", "longest_run"]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for cid, buf, codec, sr in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                try:
+                    if int(sr) <= 0:
+                        raise ValueError("non-positive sr_hz")
+                    rows.append(
+                        (cid,)
+                        + vad_clip(
+                            None if buf is None else bytes(buf),
+                            str(codec),
+                            int(sr),
+                            frame_ms,
+                        )
+                    )
+                except Exception:
+                    rows.append((cid, None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = T.StructType(
+        [T.StructField("clip_id", T.StringType(), False)]
+        + [T.StructField(c, T.IntegerType(), True) for c in cols[1:]]
+    )
+    clips = spark.read.parquet(clips_dir).select("clip_id", "bytes", "codec", "sr_hz")
+    clips.mapInPandas(fn, schema=schema).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
 def split_streams(
     spark: SparkSession,
     clips_dir: str,

@@ -742,7 +742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": docs(X.quality_score),
         "token_counts": docs(X.token_counts),
         "doc_fingerprint": docs(X.fingerprint),
-        "binary_metadata": docs(X.binary_metadata),
+        # (binary_metadata — PASS(r2), multimodal plumbing shared with
+        # in-window media_feature_dims/media_resize — rotated past the
+        # window for dpp_partitioned_scan; see marker below)
         "media_feature_dims": media_feature_dims,
         "frame_sample": frame_sample,
         # (clips_sample_rollup and clips_transcript_normalize — both
@@ -832,6 +834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # energy-threshold VAD: integer-exact frame/segment counts vs
         # the naive per-row fixture loop (same f32 samples, same eps)
         "clips_vad": clips_vad,
+        # dynamic partition pruning on a partitioned fact via a filtered
+        # broadcast dim; plan asserted engine-side (dynamicpruning)
+        "dpp_partitioned_scan": A.dpp_partitioned_scan,
         # RMS loudness normalization (mode='rms' of the gain kernel):
         # accounting + pre-gain dB vs the independent features fixture;
         # bytes parity-checked in pytest vs audio.gain_clip_rms
@@ -847,10 +852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window slots go to hash-checkable rows instead
         "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
         "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
-        # tier C rows rotated out for codec_routing/clips_vad (PASS r2,
-        # engine paths shared with in-window siblings)
+        # tier C rows rotated out for codec_routing/clips_vad/dpp (all
+        # PASS r2, engine paths shared with in-window siblings)
         "clips_sample_rollup": clips_sample_rollup,
         "clips_transcript_normalize": clips_transcript_normalize,
+        "binary_metadata": docs(X.binary_metadata),
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -2094,6 +2100,16 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
             WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
               AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)
+        """,
+        # the dim's hot tier is a deterministic function of the key
+        # domain, so the static IN-filter is the exact oracle for the
+        # runtime-pruned join
+        "dpp_partitioned_scan": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            WHERE event_type IN ('click', 'view')
+            GROUP BY 1
         """,
         # integer-exact: fixture computed by the naive per-row frame
         # loop over the same f32 samples/eps; error rows are NULL there

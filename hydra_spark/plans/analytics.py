@@ -555,6 +555,76 @@ def customers_without_orders(spark, sf_dir):
     )
 
 
+def dpp_partitioned_scan(spark, sf_dir):
+    """Dynamic partition pruning — the runtime half of partition
+    elimination, and the feature a 100-TB star join lives on: the
+    events fact is laid out PARTITIONED BY its category key (Hive-style
+    directories, the Iceberg identity-partition analog), the dimension
+    carries the selective filter (tier = 'hot'), and Catalyst injects a
+    ``dynamicpruning`` subquery on the fact scan so only the dimension-
+    surviving partitions' FILES are listed and read — the pruning value
+    set is not known until runtime, so no static filter could do this.
+    The row asserts the plan shape engine-side (a missing
+    dynamicpruning subquery fails loudly: silently reading every
+    partition is exactly the regression this row exists to catch) and
+    the answer is oracle-checked against the equivalent static SQL.
+    Both tables are built deterministically from the driver fixture and
+    stamped by source mtime (same pattern as the clips fixtures)."""
+    import os as _os
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = _os.path.join("/root/repo/.data/entry", f"dpp_{tag}")
+    fact_dir = _os.path.join(root, "events_by_type")
+    dim_dir = _os.path.join(root, "type_dim")
+    src_mtime = str(
+        int(_os.path.getmtime(_os.path.join(sf_dir, "events.parquet")))
+    )
+    stamp = _os.path.join(root, "_source_mtime")
+    fresh = (
+        _os.path.exists(_os.path.join(fact_dir, "_SUCCESS"))
+        and _os.path.exists(_os.path.join(dim_dir, "_SUCCESS"))
+        and _os.path.exists(stamp)
+        and open(stamp).read() == src_mtime
+    )
+    if not fresh:
+        ev = load(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(fact_dir)
+        # the dim derives from the fact's own key domain: interaction
+        # types are 'hot', the rest 'cold' — deterministic
+        dim = (
+            ev.select("event_type")
+            .distinct()
+            .withColumn(
+                "tier",
+                F.when(
+                    F.col("event_type").isin("click", "view"), "hot"
+                ).otherwise("cold"),
+            )
+        )
+        dim.coalesce(1).write.mode("overwrite").parquet(dim_dir)
+        with open(stamp, "w") as f:
+            f.write(src_mtime)
+    fact = spark.read.parquet(fact_dir)
+    hot = spark.read.parquet(dim_dir).where(F.col("tier") == "hot")
+    j = fact.join(F.broadcast(hot), "event_type")
+    out = j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    import contextlib as _ctx
+    import io as _io
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        out.explain("formatted")
+    if "dynamicpruning" not in buf.getvalue():
+        raise RuntimeError(
+            "dynamic partition pruning regressed: no dynamicpruning "
+            "subquery on the partitioned fact scan"
+        )
+    return out
+
+
 def lineitem_rollup(spark, sf_dir):
     """Hierarchical subtotal aggregation — GROUP BY ROLLUP over
     (returnflag, linestatus) with grouping_id disambiguating subtotal

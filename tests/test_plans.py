@@ -176,3 +176,20 @@ def test_customers_without_orders_anti_join(spark):
     assert "LeftAnti" in p
     # orders scan pruned to the join column with the date filter pushed
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_dpp_partitioned_scan_answer_and_plan(spark):
+    """The row itself raises if the dynamicpruning subquery is missing;
+    here: the runtime-pruned join must equal the static filter."""
+    got = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in A.dpp_partitioned_scan(spark, SF).collect()
+    }
+    ev = A.load(spark, SF, "events").where(F.col("event_type").isin("click", "view"))
+    exp = {
+        r.event_type: (r.n, round(r.s, 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == exp and set(got) == {"click", "view"}

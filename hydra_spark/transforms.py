@@ -159,3 +159,63 @@ def _normalize_transcript(df: DataFrame) -> DataFrame:
 @register_stage("window_key")
 def _window_key(df: DataFrame, size: str = WINDOW_SIZE) -> DataFrame:
     return df.withColumn("window_start", window_start_col(size=size))
+
+
+# ---- batch audio stages: the functions/ kernels registered by name so
+# user-assembled pipeline specs can call them like built-ins (lazy
+# imports keep module load light; params pass through to each kernel)
+
+@register_stage("resample")
+def _resample(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.resample import resample_clips
+
+    return resample_clips(df, **params)
+
+
+@register_stage("segment")
+def _segment(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.segment import segment_clips
+
+    return segment_clips(df, **params)
+
+
+@register_stage("gain")
+def _gain(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.gain import gain_clips
+
+    return gain_clips(df, **params)
+
+
+@register_stage("rms_normalize")
+def _rms_normalize(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.gain import rms_normalize_clips
+
+    return rms_normalize_clips(df, **params)
+
+
+@register_stage("transcode")
+def _transcode(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.transcode import transcode_clips
+
+    return transcode_clips(df, **params)
+
+
+@register_stage("trim_silence")
+def _trim_silence(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.trim import trim_silence
+
+    return trim_silence(df, **params)
+
+
+@register_stage("time_mask")
+def _time_mask(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.mask import time_mask
+
+    return time_mask(df, **params)
+
+
+@register_stage("vad")
+def _vad(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.vad import vad_clips
+
+    return vad_clips(df, **params)

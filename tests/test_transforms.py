@@ -59,3 +59,27 @@ def test_flagship_specs_resolve():
     transforms.build_transform(pre_join_spec())
     transforms.build_transform(pre_join_spec(salt=True, drop_rejected=False))
     assert {"admission", "decode", "window_key"} <= set(transforms.stage_names())
+
+
+def test_audio_kernels_registered_as_stages(spark):
+    """Every batch audio kernel resolves by name, and a spec-built
+    chain equals calling the kernel directly (same plan, same rows)."""
+    import numpy as np
+
+    from hydra_spark import audio
+    from hydra_spark.functions.vad import vad_clips
+    from hydra_spark.transforms import build_transform, get_stage
+
+    for name in (
+        "resample", "segment", "gain", "rms_normalize",
+        "transcode", "trim_silence", "time_mask", "vad",
+    ):
+        assert callable(get_stage(name))
+    x = np.concatenate([np.zeros(400), np.full(800, 0.4), np.zeros(400)])
+    df = spark.createDataFrame(
+        [("c0", bytearray(audio.encode(x, "pcm16")), 8000, "pcm16")],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    via_spec = build_transform([("vad", {"frame_ms": 20})])(df).collect()
+    direct = vad_clips(df, frame_ms=20).collect()
+    assert via_spec == direct and via_spec[0].n_segments == 1

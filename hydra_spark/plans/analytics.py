@@ -1294,6 +1294,77 @@ def tpch_q17(spark, sf_dir):
     )
 
 
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): the pure scan-aggregate —
+    every predicate (date range, discount band, quantity cap) must
+    reach the parquet scan as PushedFilters and the single global
+    aggregate collapses map-side; no shuffle of data rows at all, just
+    partial-aggregate exchange. At 100 TB this is the
+    row-group-pruning showcase: a sorted/partitioned lineitem layout
+    serves it from a fraction of the files."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): top revenue-losing
+    customers for one quarter's returns. Plan shape for 100 TB: the
+    date filter prunes orders at the scan, the returnflag filter
+    prunes lineitem at the scan, the orders/lineitem equi-join
+    shuffles only those survivors, and customer/nation join back with
+    nation broadcast; the top-k is a single ordered limit after the
+    aggregate (no full sort of the group set leaves the reducers)."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+    # deterministic top-20: revenue desc, then custkey asc tiebreak
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): ratio of conditional aggregates —
+    promo revenue share for one month. Plan shape for 100 TB: part is
+    joined BROADCAST (dimension), lineitem's month filter is pushed to
+    the scan, and both the promo and total sums come out of ONE
+    aggregate pass (a conditional sum, not two scans)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
 def tpch_q18(spark, sf_dir):
     """TPC-H Q18 (large-volume customers): a grouped-HAVING subquery on
     the fact table joined back to orders and customer. Plan shape for

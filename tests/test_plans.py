@@ -193,3 +193,23 @@ def test_dpp_partitioned_scan_answer_and_plan(spark):
         .collect()
     }
     assert got == exp and set(got) == {"click", "view"}
+
+
+def test_tpch_q6_pure_scan_aggregate(spark):
+    """Q6: every predicate reaches the scan; the only exchange is the
+    single-partition partial-aggregate gather — no row shuffle."""
+    p = plan_of(A.tpch_q6(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_quantity,24" in p
+    # formatted explain prints each node in the tree AND as a "(n) X"
+    # detail header — count node headers: exactly one exchange
+    assert p.count(") Exchange") == 1
+
+
+def test_tpch_q10_and_q14_broadcast_dims(spark):
+    p10 = plan_of(A.tpch_q10(spark, SF))
+    assert "BroadcastHashJoin" in p10
+    assert "EqualTo(l_returnflag,R)" in p10  # fact pruned at the scan
+    assert "TakeOrderedAndProject" in p10  # top-k, not a full sort
+    p14 = plan_of(A.tpch_q14(spark, SF))
+    assert "BroadcastHashJoin" in p14 and "SortMergeJoin" not in p14

@@ -866,6 +866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": A.tpch_q10,
         # Q14 promo share: broadcast part, ONE conditional-agg pass
         "tpch_q14": A.tpch_q14,
+        # MATCH_RECOGNIZE-lite: Kleene-star pattern (c v* p) as a regex
+        # over per-user encoded sequences, Java∩RE2 grammar
+        "cep_pattern_scan": A.cep_pattern_scan,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -1577,6 +1580,22 @@ def oracle_sql() -> dict[str, str]:
                          / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+        """,
+        # leftmost-greedy first match is identical in Java and RE2 for
+        # this grammar; '' (not NULL) for non-matching users both sides
+        "cep_pattern_scan": """
+            WITH s AS (
+              SELECT user_id,
+                     string_agg(CASE event_type
+                                WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+                                WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                                ELSE 'e' END,
+                                '' ORDER BY ts, event_id) AS seq
+              FROM events GROUP BY 1)
+            SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+                   regexp_matches(seq, 'cv*p') AS matched,
+                   coalesce(regexp_extract(seq, 'cv*p', 0), '') AS first_match
+            FROM s
         """,
         "tpch_q18": """
             WITH big AS (

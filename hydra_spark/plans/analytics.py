@@ -555,6 +555,53 @@ def customers_without_orders(spark, sf_dir):
     )
 
 
+def cep_pattern_scan(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite: Kleene-star event-pattern detection over
+    per-user ordered sequences — the quantified-pattern half of CEP
+    that `cep_sequence`'s fixed A->B->C detector can't express (Flink
+    MATCH_RECOGNIZE / Esper analog; Hydra analog: the per-request
+    ingest-protocol state machine, IngestionSupervisor lifecycle).
+    Each user's history is encoded as a character string (one char per
+    event, ordered by ts with event_id tiebreak) and the pattern
+    ``c v* p`` (click, any views, purchase) runs as a REGEX on that
+    encoding — declarative, JVM-side, and expressible in both engines,
+    so the row is fully oracle-checked (the pattern grammar is the
+    Java∩RE2 subset, same discipline as pii_redact).
+
+    Scale shape: one hash aggregation (collect_list per user — bounded
+    by per-user history, the same state bound any CEP engine needs),
+    sort + encode + regex inside whole-stage codegen. At 10^12 events
+    the shuffle is the per-user grouping every sequence operator pays;
+    no driver round-trips, no UDF."""
+    ev = load(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", ch.alias("ch")))
+            ),
+            lambda x: x["ch"],
+        ),
+        "",
+    )
+    agg = ev.groupBy("user_id").agg(seq.alias("seq"))
+    pat = "cv*p"
+    return agg.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.col("seq").rlike(pat).alias("matched"),
+        # first-match semantics are identical in Java and RE2 (leftmost,
+        # greedy star); '' for non-matching users on both sides
+        F.regexp_extract("seq", pat, 0).alias("first_match"),
+    )
+
+
 def dpp_partitioned_scan(spark, sf_dir):
     """Dynamic partition pruning — the runtime half of partition
     elimination, and the feature a 100-TB star join lives on: the

@@ -151,3 +151,137 @@ def sequence_matches_stream(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def kleene_matches_ref(
+    events: list[tuple[int, str]], a: str, b: str, c: str, budget_us: int
+) -> list[tuple[int, int, int]]:
+    """Reference matcher for the quantified pattern ``a b* c`` over one
+    key's (ts_us, label) events in order — THE semantics contract the
+    streaming operator below must reproduce across micro-batch
+    boundaries (pytest runs this on the full event list and compares):
+
+      * a match spans CONSECUTIVE events: start at an ``a``, absorb any
+        number of ``b``, complete on a ``c``, all within ``budget_us``
+        (MATCH_RECOGNIZE's default strict contiguity)
+      * any label that is neither ``b`` nor ``c`` kills the open
+        candidate; an ``a`` kills-then-reopens (so under strict
+        contiguity at most ONE candidate is ever open — the list form
+        below is kept for the general multi-pattern extension)
+      * a completing ``c`` emits the in-budget candidate and consumes
+        it
+
+    Returns [(seq_start_us, seq_end_us, n_absorbed)] in emission order.
+    """
+    cands: list[tuple[int, int]] = []  # (start_us, n_b)
+    out: list[tuple[int, int, int]] = []
+    for ts, lab in events:
+        if lab == c:
+            out.extend(
+                (s, ts, nb) for s, nb in cands if ts - s <= budget_us
+            )
+            cands = []
+        elif lab == b:
+            cands = [(s, nb + 1) for s, nb in cands]
+        else:
+            cands = []
+        if lab == a:
+            cands.append((ts, 0))
+        cands = [(s, nb) for s, nb in cands if ts - s <= budget_us]
+    return out
+
+
+def kleene_matches_stream(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    ts_col: str,
+    a: str,
+    b: str,
+    c: str,
+    within_seconds: int,
+    watermark: str = "60 seconds",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming Kleene-star CEP: quantified pattern ``a b* c`` per key
+    (the MATCH_RECOGNIZE shape `cep_pattern_scan` runs declaratively in
+    batch), matched incrementally with ``applyInPandasWithState``.
+    State per key is the open-candidate list — (start_ts, absorbed
+    count) of the un-completed ``a`` run — pruned to the time budget;
+    under strict contiguity the list holds at most one entry, so state
+    is O(1) per key (tighter than the fixed-sequence detector's
+    trailing buffer). Candidates survive
+    micro-batch boundaries; matches emit the moment their ``c``
+    arrives. Idle keys expire once the watermark passes the newest
+    candidate's completion horizon (start + budget): expiry can only
+    drop candidates that could no longer complete in budget, so it
+    never changes results. Semantics contract: ``kleene_matches_ref``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("seq_start", T.TimestampType()),
+            T.StructField("seq_end", T.TimestampType()),
+            T.StructField("n_absorbed", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("starts_us", T.ArrayType(T.LongType())),
+            T.StructField("n_bs", T.ArrayType(T.LongType())),
+        ]
+    )
+    budget_us = within_seconds * 1_000_000
+    is_streaming = df.isStreaming
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        starts, n_bs = state.get if state.exists else ([], [])
+        cands = list(zip(starts, n_bs))
+        matches = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, tiebreak_col or label_col])
+            for ts, lab in zip(pdf[ts_col], pdf[label_col]):
+                ts_us = int(ts.value // 1000)
+                lab = str(lab)
+                if lab == c:
+                    matches.extend(
+                        (s, ts_us, nb) for s, nb in cands if ts_us - s <= budget_us
+                    )
+                    cands = []
+                elif lab == b:
+                    cands = [(s, nb + 1) for s, nb in cands]
+                else:
+                    cands = []
+                if lab == a:
+                    cands.append((ts_us, 0))
+                cands = [(s, nb) for s, nb in cands if ts_us - s <= budget_us]
+        if cands:
+            state.update(([s for s, _ in cands], [nb for _, nb in cands]))
+            if is_streaming:
+                horizon_ms = max(s for s, _ in cands) // 1000 + within_seconds * 1000 + 1
+                state.setTimeoutTimestamp(
+                    max(horizon_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        elif state.exists:
+            state.remove()
+        if matches:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(matches),
+                    "seq_start": [pd.Timestamp(s, unit="us") for s, _, _ in matches],
+                    "seq_end": [pd.Timestamp(e, unit="us") for _, e, _ in matches],
+                    "n_absorbed": [int(nb) for _, _, nb in matches],
+                }
+            )
+
+    if is_streaming:
+        g = df.withWatermark(ts_col, watermark).groupBy(key_col)
+        return g.applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -280,3 +280,82 @@ def test_state_format_marker(tmp_path):
         pin_state_format(old)
     pin_state_format(old, holds_custom_state=False)   # stamps + accepts
     pin_state_format(old)                              # now marked: fine
+
+
+def test_cep_kleene_stream_matches_reference(spark, tmp_path):
+    """Kleene-star CEP (a b* c): the incremental stateful matcher must
+    reproduce kleene_matches_ref exactly, including candidates carried
+    ACROSS a micro-batch boundary, kill-then-reopen on repeated 'a'
+    (strict contiguity: 'a a b c' matches only from the SECOND a),
+    kill-on-foreign-label, and budget expiry."""
+    from datetime import datetime, timedelta
+
+    from hydra_spark.operators.cep import kleene_matches_ref, kleene_matches_stream
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("label", T.StringType()),
+    ])
+    base = datetime(2025, 1, 1)
+
+    def _us(b, s):
+        return int((b + timedelta(seconds=s)).timestamp() * 1_000_000)
+
+    # u1: kill-then-reopen (a a b c -> ONE match from the 2nd a),
+    # boundary-split candidate (a b | b c), kill (a x c -> none)
+    u1 = ["a", "a", "b", "c", "a", "b", "b", "c", "a", "x", "c", "a"]
+    u1_steps = [0, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50, 55]
+    u2 = ["a", "c"]
+    u2_steps = [0, 600]  # budget 60 s -> no match
+    rows, per_key = [], {}
+    for key, labs, steps in (("u1", u1, u1_steps), ("u2", u2, u2_steps)):
+        evs = []
+        for lab, s in zip(labs, steps):
+            ts = base + timedelta(seconds=s)
+            rows.append((key, ts, lab))
+            evs.append((int(ts.timestamp() * 1_000_000), lab))
+        per_key[key] = evs
+    d = str(tmp_path / "kleene")
+    # split INSIDE u1's third candidate run (after 'a b', before 'b c')
+    spark.createDataFrame(rows[:6], schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows[6:], schema).coalesce(1).write.mode("append").parquet(d)
+
+    budget = 60
+    expected = set()
+    for key, evs in per_key.items():
+        for s, e, nb in kleene_matches_ref(evs, "a", "b", "c", budget * 1_000_000):
+            expected.add((key, s, e, nb))
+    # sanity on the hand-built scenario: reopened + split = 2 matches
+    assert len(expected) == 2 and all(k == "u1" for k, *_ in expected)
+    assert expected == {
+        ("u1", _us(base, 5), _us(base, 15), 1),   # from the SECOND a
+        ("u1", _us(base, 20), _us(base, 35), 2),  # spans the file split
+    }
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    got = []
+    q = (
+        kleene_matches_stream(src, "k", "label", "event_time", "a", "b", "c", budget)
+        .writeStream.foreachBatch(lambda bdf, bid: got.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp_kleene"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_set = {
+        (
+            r.k,
+            int(r.seq_start.timestamp() * 1_000_000),
+            int(r.seq_end.timestamp() * 1_000_000),
+            r.n_absorbed,
+        )
+        for r in got
+    }
+    assert got_set == expected

@@ -869,6 +869,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MATCH_RECOGNIZE-lite: Kleene-star pattern (c v* p) as a regex
         # over per-user encoded sequences, Java∩RE2 grammar
         "cep_pattern_scan": A.cep_pattern_scan,
+        # benchmark decontamination: shared 8-grams vs the deterministic
+        # doc_id%97 'benchmark' subset; gram equi-join, no all-pairs
+        "benchmark_contamination": docs(
+            lambda d: D.benchmark_contamination(
+                d, d.where(F.col("doc_id") % 97 == 0), n=8
+            )
+        ),
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -1580,6 +1587,25 @@ def oracle_sql() -> dict[str, str]:
                          / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+        """,
+        "benchmark_contamination": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 6), i ->
+                         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                         || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                         || ' ' || ws[i+7])) AS g
+                FROM w WHERE len(ws) >= 8)),
+            b AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+            sh AS (SELECT doc_id, count(*) AS n_shared_grams
+                   FROM g JOIN b USING (g) GROUP BY 1),
+            t AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1)
+            SELECT t.doc_id, t.n_grams,
+                   coalesce(sh.n_shared_grams, 0) AS n_shared_grams,
+                   coalesce(sh.n_shared_grams, 0) > 0 AS contaminated
+            FROM t LEFT JOIN sh USING (doc_id)
         """,
         # leftmost-greedy first match is identical in Java and RE2 for
         # this grammar; '' (not NULL) for non-matching users both sides

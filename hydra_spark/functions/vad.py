@@ -118,9 +118,7 @@ def vad_clips(df: DataFrame, frame_ms: int = 20) -> DataFrame:
             sr = np.asarray(rb.column(names.index("sr_hz")).to_pylist(), dtype=object)
             sr = np.array([0 if v is None else int(v) for v in sr], dtype=np.int64)
             off, data, lens, is_null = _binary_views(barr, n)
-            err = _classify_errors(codec, lens, is_null)
-            bad_sr = (err == None) & (sr <= 0)  # noqa: E711
-            err[bad_sr] = "ValueError: non-positive sr_hz"
+            err = _classify_errors(codec, lens, is_null, sr=sr)
             flen = sr * frame_ms // 1000
             bad_fr = (err == None) & (flen < 1)  # noqa: E711
             err[bad_fr] = "ValueError: frame shorter than one sample"

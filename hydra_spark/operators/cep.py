@@ -215,7 +215,17 @@ def kleene_matches_stream(
     arrives. Idle keys expire once the watermark passes the newest
     candidate's completion horizon (start + budget): expiry can only
     drop candidates that could no longer complete in budget, so it
-    never changes results. Semantics contract: ``kleene_matches_ref``.
+    never changes results.
+
+    Semantics contract: ``kleene_matches_ref`` — UNDER THE SAME
+    in-order assumption as ``sequence_matches_stream``: per-key
+    event-time order ACROSS micro-batches (guaranteed by
+    per-key-partitioned sources; within a batch we sort by
+    (ts, tiebreak)). An event arriving in a later batch with an
+    earlier timestamp is processed after its successors and can
+    produce matches the reference (run on the fully ordered list)
+    would not — order-tolerant matching needs a buffering layer in
+    front, not silent reordering here.
     """
     out_schema = T.StructType(
         [

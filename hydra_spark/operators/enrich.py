@@ -41,10 +41,12 @@ def route_with_registry(
     """Join/ignore one batch against the registry's CURRENT snapshot.
 
     Adds a ``route`` column: the registry row's route where one exists
-    with ``enabled`` = true, the literal 'ignore' otherwise (missing
-    key, disabled row, or NULL enabled). Broadcast by construction —
-    call per micro-batch so registry commits take effect at trigger
-    boundaries."""
+    with ``enabled`` = true AND a non-null route, the literal 'ignore'
+    otherwise (missing key, disabled row, NULL enabled, or NULL route —
+    a half-written registry row must park records in the visible
+    'ignore' bucket, never under a NULL group). Broadcast by
+    construction — call per micro-batch so registry commits take
+    effect at trigger boundaries."""
     routes = F.broadcast(
         registry.read(spark).select(key_col, "route", "enabled")
     )
@@ -53,7 +55,9 @@ def route_with_registry(
         .withColumn(
             "route",
             F.when(
-                F.col("enabled").eqNullSafe(F.lit(True)), F.col("route")
+                F.col("enabled").eqNullSafe(F.lit(True))
+                & F.col("route").isNotNull(),
+                F.col("route"),
             ).otherwise(F.lit("ignore")),
         )
         .drop("enabled")

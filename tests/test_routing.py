@@ -46,6 +46,17 @@ def test_route_batch_join_ignore(spark, tmp_path):
     got = {r.clip_id: r.route for r in route_with_registry(df, spark, reg).collect()}
     # enabled -> its route; disabled AND unknown both -> ignore
     assert got == {"a": "pcm-pipe", "b": "ignore", "c": "ignore", "d": "pcm-pipe"}
+    # a half-written registry row (enabled but NULL route) must park
+    # records under 'ignore', never a NULL route group
+    reg.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [("opus", None, True)], "codec string, route string, enabled boolean"
+        ),
+        "half-written",
+    )
+    got2 = {r.clip_id: r.route for r in route_with_registry(df, spark, reg).collect()}
+    assert got2["c"] == "ignore"
 
 
 def test_registry_merge_reroutes_next_batch_without_restart(spark, tmp_path):

@@ -876,6 +876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 d, d.where(F.col("doc_id") % 97 == 0), n=8
             )
         ),
+        # the assembled C4-style corpus filter: lang + repetition +
+        # contamination + quality floor, keep/drop with first-failing
+        # reason — composition of four certified filters
+        "corpus_gate": docs(
+            lambda d: X.corpus_gate(d, d.where(F.col("doc_id") % 97 == 0))
+        ),
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -1606,6 +1612,66 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sh.n_shared_grams, 0) AS n_shared_grams,
                    coalesce(sh.n_shared_grams, 0) > 0 AS contaminated
             FROM t LEFT JOIN sh USING (doc_id)
+        """,
+        # composition of the four certified filter oracles; gate order
+        # lang -> repetition -> contamination -> quality, floor 0.45
+        "corpus_gate": """
+            WITH lh AS (SELECT doc_id,
+              len(regexp_extract_all(lower(text), '\\bthe\\b')) + len(regexp_extract_all(lower(text), '\\ba\\b'))
+              + len(regexp_extract_all(lower(text), '\\band\\b')) + len(regexp_extract_all(lower(text), '\\bof\\b')) AS en,
+              len(regexp_extract_all(lower(text), '\\bder\\b')) + len(regexp_extract_all(lower(text), '\\bdie\\b'))
+              + len(regexp_extract_all(lower(text), '\\bund\\b')) + len(regexp_extract_all(lower(text), '\\bdas\\b')) AS de,
+              len(regexp_extract_all(lower(text), '\\ble\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b'))
+              + len(regexp_extract_all(lower(text), '\\bet\\b')) + len(regexp_extract_all(lower(text), '\\bles\\b')) AS fr
+              FROM documents),
+            lang AS (SELECT doc_id,
+                   CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+                        WHEN de >= fr AND de > 0 THEN 'de'
+                        WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess
+              FROM lh),
+            qf AS (SELECT doc_id, length(text) AS c,
+                          len(regexp_split_to_array(trim(text), '\\s+')) AS t,
+                          len(regexp_extract_all(lower(text), '\\bthe\\b')) + len(regexp_extract_all(lower(text), '\\ba\\b'))
+                          + len(regexp_extract_all(lower(text), '\\band\\b')) + len(regexp_extract_all(lower(text), '\\bof\\b')) AS s
+                   FROM documents),
+            q AS (SELECT doc_id,
+                   round(least(t/100.0, 1.0)*0.5 + least(s/greatest(t,1)*5.0, 1.0)*0.5, 4) AS quality
+                  FROM qf),
+            rw AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws
+                   FROM documents),
+            rg AS (SELECT doc_id, ws,
+                     list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
+                     list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+                   FROM rw),
+            rep AS (SELECT doc_id,
+                     (CASE WHEN len(g2) > 0 THEN round(1 - len(list_distinct(g2)) / len(g2), 4) ELSE 0.0 END > 0.2
+                      OR CASE WHEN len(g3) > 0 THEN round(1 - len(list_distinct(g3)) / len(g3), 4) ELSE 0.0 END > 0.18) AS repetitious
+                    FROM rg),
+            cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            cgm AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 6), i ->
+                         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                         || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                         || ' ' || ws[i+7])) AS g
+                FROM cw WHERE len(ws) >= 8)),
+            cb AS (SELECT DISTINCT g FROM cgm WHERE doc_id % 97 = 0),
+            cont AS (SELECT doc_id, count(*) > 0 AS contaminated
+                     FROM cgm JOIN cb USING (g) GROUP BY doc_id),
+            j AS (SELECT lang.doc_id, lang_guess, quality, repetitious,
+                         coalesce(cont.contaminated, false) AS contaminated
+                  FROM lang JOIN q USING (doc_id) JOIN rep USING (doc_id)
+                  LEFT JOIN cont USING (doc_id))
+            SELECT doc_id, lang_guess, quality, repetitious, contaminated,
+                   (lang_guess = 'en' AND NOT repetitious AND NOT contaminated
+                    AND quality >= 0.45) AS keep,
+                   CASE WHEN lang_guess != 'en' THEN 'lang'
+                        WHEN repetitious THEN 'repetition'
+                        WHEN contaminated THEN 'contamination'
+                        WHEN quality < 0.45 THEN 'quality'
+                        ELSE '' END AS reason
+            FROM j
         """,
         # leftmost-greedy first match is identical in Java and RE2 for
         # this grammar; '' (not NULL) for non-matching users both sides

@@ -252,6 +252,60 @@ def repetition_stats(
     )
 
 
+def corpus_gate(
+    docs: DataFrame,
+    bench: DataFrame,
+    min_quality: float = 0.45,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The assembled pre-training corpus filter — the C4/RefinedWeb-style
+    keep/drop gate every pipeline runs before tokenization, composed
+    from this module's certified filters: language ID (must be 'en'),
+    Gopher repetition flag, benchmark decontamination, and the quality
+    score floor. Emits keep plus the FIRST failing gate as ``reason``
+    (gates check in pipeline order: lang -> repetition ->
+    contamination -> quality; '' when kept) — the audit trail a corpus
+    report needs, not just a boolean.
+
+    Scale shape: each component is its own certified single-pass
+    operator; composition joins their per-doc outputs on the id (three
+    hash joins co-partitioned by the same key — AQE coalesces them onto
+    one exchange of ~20 B rows/doc). Docs too short to carry an 8-gram
+    have no contamination surface and gate as not-contaminated."""
+    from hydra_spark.ops.dedup import benchmark_contamination
+
+    lang = lang_id(docs, text_col, id_col).select(id_col, "lang_guess")
+    q = quality_score(docs, text_col, id_col).select(id_col, "quality")
+    rep = repetition_stats(docs, text_col, id_col).select(
+        id_col, F.col("flagged").alias("repetitious")
+    )
+    cont = benchmark_contamination(docs, bench, text_col=text_col, id_col=id_col)
+    j = (
+        lang.join(q, id_col)
+        .join(rep, id_col)
+        .join(cont.select(id_col, "contaminated"), id_col, "left")
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    )
+    keep = (
+        (F.col("lang_guess") == "en")
+        & ~F.col("repetitious")
+        & ~F.col("contaminated")
+        & (F.col("quality") >= min_quality)
+    )
+    reason = (
+        F.when(F.col("lang_guess") != "en", "lang")
+        .when(F.col("repetitious"), "repetition")
+        .when(F.col("contaminated"), "contamination")
+        .when(F.col("quality") < min_quality, "quality")
+        .otherwise("")
+    )
+    return j.select(
+        id_col, "lang_guess", "quality", "repetitious", "contaminated",
+        keep.alias("keep"), reason.alias("reason"),
+    )
+
+
 def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document top-k terms by TF-IDF — the keyword-extraction /
     corpus-characterization pass a training-data pipeline runs before

@@ -882,6 +882,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_gate": docs(
             lambda d: X.corpus_gate(d, d.where(F.col("doc_id") % 97 == 0))
         ),
+        # the dedup ACTION step: near-dup pairs -> kept corpus (drop
+        # every dominated doc, min-id canonical survives)
+        "dedup_apply": docs(
+            lambda d: D.dedup_apply(
+                d, D.minhash_lsh_pairs(d, threshold=0.5, bands=64)
+            ).select("doc_id", "source", "n_chars")
+        ),
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -1612,6 +1619,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sh.n_shared_grams, 0) AS n_shared_grams,
                    coalesce(sh.n_shared_grams, 0) > 0 AS contaminated
             FROM t LEFT JOIN sh USING (doc_id)
+        """,
+        # the minhash oracle's exact pair set drives the same
+        # domination-drop rule (engine output equals exact because
+        # bands=64 makes the pair sets deterministically equal)
+        "dedup_apply": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                              generate_subscripts(string_split(text,' '),1) AS pos FROM documents),
+            g AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram
+                  FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                           JOIN w c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+            cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+            inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                      FROM g a JOIN g b ON a.gram=b.gram AND a.doc_id<b.doc_id GROUP BY 1,2),
+            losers AS (SELECT DISTINCT d2 FROM inter
+                       JOIN cnt ca ON ca.doc_id=d1 JOIN cnt cb ON cb.doc_id=d2
+                       WHERE round(i::DOUBLE/(ca.n+cb.n-i),4) >= 0.5)
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT d2 FROM losers)
         """,
         # composition of the four certified filter oracles; gate order
         # lang -> repetition -> contamination -> quality, floor 0.45

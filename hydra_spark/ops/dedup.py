@@ -84,6 +84,25 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_apply(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    loser_col: str = "d2",
+) -> DataFrame:
+    """Turn a near-dup PAIR set into the deduplicated corpus — the
+    action step after any pair emitter (minhash/simhash/ngram/cosine):
+    drop every doc that appears on the higher-id side of any pair. The
+    emitters all order pairs d1 < d2, so d1 is the min-id canonical and
+    this keeps exactly the never-dominated docs — deterministic without
+    a transitive closure (full cluster canonicalization is
+    ``dup_clusters``; removal only needs domination). One distinct on
+    the loser ids (pair-set sized, tiny next to the corpus) + one LEFT
+    ANTI join on the id — the corpus shuffles only its key column."""
+    losers = pairs.select(F.col(loser_col).alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def benchmark_contamination(
     docs: DataFrame,
     bench: DataFrame,

@@ -359,3 +359,76 @@ def test_cep_kleene_stream_matches_reference(spark, tmp_path):
         for r in got
     }
     assert got_set == expected
+
+
+def test_cep_kleene_property_random_sequences(spark, tmp_path):
+    """Property check: 50 seeded-random per-key event sequences run
+    through ONE streaming query (two files -> a micro-batch boundary
+    lands mid-sequence for many keys) must equal kleene_matches_ref on
+    each key's ordered list. applyInPandasWithState has no batch mode
+    in Spark 4, so the property runs against the real streaming path."""
+    import random
+    from datetime import datetime, timedelta
+
+    from hydra_spark.operators.cep import kleene_matches_ref, kleene_matches_stream
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("label", T.StringType()),
+    ])
+    base = datetime(2025, 1, 1)
+    rng = random.Random(20260818)
+    rows, per_key = [], {}
+    for i in range(50):
+        key = f"u{i:02d}"
+        n = rng.randint(0, 25)
+        secs = sorted(rng.sample(range(0, 400), n))
+        labs = [rng.choice("abcx") for _ in range(n)]
+        evs = []
+        for s, lab in zip(secs, labs):
+            ts = base + timedelta(seconds=s)
+            rows.append((key, ts, lab))
+            evs.append((int(ts.timestamp() * 1_000_000), lab))
+        per_key[key] = evs
+    # the operator's contract is per-key event-time order ACROSS
+    # batches (see docstring): split by TIME so file 2 only carries
+    # later events; WITHIN each file arrival order must not matter
+    rows.sort(key=lambda r: r[1])
+    d = str(tmp_path / "prop")
+    half = len(rows) // 2
+    first, second = rows[:half], rows[half:]
+    rng.shuffle(first)
+    rng.shuffle(second)
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(second, schema).coalesce(1).write.mode("append").parquet(d)
+
+    budget = 60
+    expected = set()
+    for key, evs in per_key.items():
+        for s, e, nb in kleene_matches_ref(sorted(evs), "a", "b", "c", budget * 1_000_000):
+            expected.add((key, s, e, nb))
+    assert expected  # seeded data must actually exercise matches
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    got = []
+    q = (
+        kleene_matches_stream(src, "k", "label", "event_time", "a", "b", "c", budget)
+        .writeStream.foreachBatch(lambda bdf, bid: got.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp_prop"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_set = {
+        (r.k, int(r.seq_start.timestamp() * 1_000_000),
+         int(r.seq_end.timestamp() * 1_000_000), r.n_absorbed)
+        for r in got
+    }
+    assert got_set == expected

@@ -869,6 +869,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MATCH_RECOGNIZE-lite: Kleene-star pattern (c v* p) as a regex
         # over per-user encoded sequences, Java∩RE2 grammar
         "cep_pattern_scan": A.cep_pattern_scan,
+        # cumulative ROWS frame: per-customer running total (one key
+        # shuffle + in-partition sort, no self-join)
+        "customer_running_total": A.customer_running_total,
+        # NTILE decile report (deterministic total order; approx-cut +
+        # range-join is the documented 10^12-row sibling)
+        "order_value_deciles": A.order_value_deciles,
         # benchmark decontamination: shared 8-grams vs the deterministic
         # doc_id%97 'benchmark' subset; gram equi-join, no all-pairs
         "benchmark_contamination": docs(
@@ -1713,6 +1719,26 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(seq, 'cv*p') AS matched,
                    coalesce(regexp_extract(seq, 'cv*p', 0), '') AS first_match
             FROM s
+        """,
+        "customer_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+                   row_number() OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+            FROM orders
+        """,
+        "order_value_deciles": """
+            WITH d AS (
+              SELECT o_orderkey, o_totalprice,
+                     ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+              FROM orders)
+            SELECT decile, count(*) AS n_orders,
+                   round(min(o_totalprice), 2) AS min_value,
+                   round(max(o_totalprice), 2) AS max_value,
+                   round(avg(o_totalprice), 4) AS avg_value
+            FROM d GROUP BY 1
         """,
         "tpch_q18": """
             WITH big AS (

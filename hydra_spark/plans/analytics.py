@@ -555,6 +555,58 @@ def customers_without_orders(spark, sf_dir):
     )
 
 
+def customer_running_total(spark, sf_dir):
+    """Cumulative window frame (ROWS UNBOUNDED PRECEDING .. CURRENT):
+    per-customer running order-value total in order-date order — the
+    running-aggregate reporting shape (account balances, cumulative
+    spend) the windows module's tumbling/sliding forms don't cover.
+    Deterministic total order via (o_orderdate, o_orderkey). Plan: ONE
+    shuffle on the customer key + an in-partition sort — the frame
+    itself is streaming-evaluated inside the sort, no self-join."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.row_number()
+        .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .cast("long")
+        .alias("order_seq"),
+    )
+
+
+def order_value_deciles(spark, sf_dir):
+    """NTILE decile report over order values — the distribution-summary
+    reporting shape (spend tiers, SLA percentile bands). Deterministic
+    bucketing via the (o_totalprice, o_orderkey) total order; one
+    global sort (single-partition window — the decile assignment is
+    inherently total-order; at 10^12 rows the same report would use
+    approx quantile cuts + a broadcast range join, documented here as
+    the scale sibling of the exact form)."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    d = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_value"),
+        F.round(F.max("o_totalprice"), 2).alias("max_value"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+    )
+
+
 def cep_pattern_scan(spark, sf_dir):
     """MATCH_RECOGNIZE-lite: Kleene-star event-pattern detection over
     per-user ordered sequences — the quantified-pattern half of CEP

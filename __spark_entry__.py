@@ -1558,7 +1558,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": """
             WITH w AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws
+                     string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws
               FROM documents),
             g AS (
               SELECT doc_id, ws, len(ws) AS n,
@@ -1668,7 +1668,7 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT doc_id,
                    round(least(t/100.0, 1.0)*0.5 + least(s/greatest(t,1)*5.0, 1.0)*0.5, 4) AS quality
                   FROM qf),
-            rw AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws
+            rw AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws
                    FROM documents),
             rg AS (SELECT doc_id, ws,
                      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,

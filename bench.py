@@ -104,10 +104,14 @@ ROUNDS = int(os.environ.get("HYDRA_BENCH_ROUNDS", "3"))
 # BENCH/BASELINE.md — best-of-k was always the estimator; extra k only
 # tightens the estimate of the uncontended rate.
 EXTRA_ROUNDS = int(os.environ.get("HYDRA_BENCH_EXTRA_ROUNDS", "2"))
-# absolute per-width copy-bandwidth floors (GB/s) below which a trial's
-# window counts as degraded even when every round was EQUALLY slow —
-# values are ~75% of the healthy stamps in BENCH/HISTORY.md
-_BW_FLOORS = {2: 95.0, 4: 150.0, 8: 95.0, 16: 160.0}
+# absolute copy-bandwidth floors (GB/s) below which a trial's window
+# counts as degraded even when every round was EQUALLY slow — keyed by
+# the PAIR's hi core count because every stamp is measured at cores_hi
+# width (see the per-trial stamp block in run_scaling). Values are
+# ~75% of the healthy width-8/width-16 stamps in BENCH/HISTORY.md;
+# uncalibrated widths fall back to 0.0 (floor check inert, relative
+# check still applies).
+_BW_FLOORS = {8: 95.0, 16: 160.0}
 EFF_TARGET = float(os.environ.get("HYDRA_BENCH_EFF_TARGET", "0.8"))
 RUN_SCALING = os.environ.get("HYDRA_BENCH_SCALING", "1") != "0"
 # headline suite toggle: pair-only re-runs (window-chasing) skip it
@@ -346,9 +350,9 @@ def run_streaming_pair(
                 # a UNIFORMLY contended window has no internal contrast
                 # (every round equally slow -> relative check passes) —
                 # absolute floors from BENCH/HISTORY.md's healthy
-                # stamps catch it (healthy: ~125-140 GB/s at widths
-                # 2/8, ~200-250 at 4/16; contended episodes: 20-140)
-                or t["ctrl_bw_gbps"] < _BW_FLOORS.get(t["cores"], 0.0)
+                # stamps catch it; stamps are ALWAYS measured at
+                # cores_hi width, so the floor keys on cores_hi too
+                or t["ctrl_bw_gbps"] < _BW_FLOORS.get(cores_hi, 0.0)
                 for t in trials
             )
             if not degraded:

@@ -33,11 +33,9 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(sc.defaultParallelism, id_col)
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-vote language guess: argmax over per-language hit counts,
-    'und' (undetermined) when all zero. Ties break by language order
-    en > de > fr (deterministic)."""
-    df = _spread(df, id_col)
+def _lang_exprs(text_col: str) -> dict:
+    """THE language-guess expressions (shared by lang_id and
+    corpus_gate — one definition, two call sites)."""
     t = F.lower(F.col(text_col))
     en = _count_words(t, LANG_STOPWORDS["en"])
     de = _count_words(t, LANG_STOPWORDS["de"])
@@ -48,32 +46,51 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         .when(fr > 0, "fr")
         .otherwise("und")
     )
-    return df.select(F.col(id_col), guess.alias("lang_guess"), en.alias("en_hits"))
+    return {"lang_guess": guess, "en_hits": en}
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length / punctuation / stopword-ratio quality features + score."""
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language guess: argmax over per-language hit counts,
+    'und' (undetermined) when all zero. Ties break by language order
+    en > de > fr (deterministic)."""
     df = _spread(df, id_col)
+    e = _lang_exprs(text_col)
+    return df.select(
+        F.col(id_col), e["lang_guess"].alias("lang_guess"), e["en_hits"].alias("en_hits")
+    )
+
+
+def _quality_exprs(text_col: str) -> dict:
+    """THE quality-score expressions (shared by quality_score and
+    corpus_gate)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = F.size(F.split(F.trim(t), r"\s+"))
     n_punct = F.regexp_count(t, F.lit(r"[.!?,;:]"))
     n_stop = _count_words(F.lower(t), LANG_STOPWORDS["en"])
-    stop_ratio = F.round(n_stop / n_tokens, 4)
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
-    score = F.round(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
-        + F.least(n_stop / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0)) * 0.5,
-        4,
-    )
+    return {
+        "n_chars_m": n_chars,
+        "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "stop_ratio": F.round(n_stop / n_tokens, 4),
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+        "quality": F.round(
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+            + F.least(n_stop / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0)) * 0.5,
+            4,
+        ),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score."""
+    df = _spread(df, id_col)
+    e = _quality_exprs(text_col)
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars_m"),
-        n_tokens.alias("n_tokens"),
-        n_punct.alias("n_punct"),
-        stop_ratio.alias("stop_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        score.alias("quality"),
+        *[e[k].alias(k) for k in (
+            "n_chars_m", "n_tokens", "n_punct", "stop_ratio", "punct_ratio", "quality"
+        )],
     )
 
 
@@ -215,6 +232,18 @@ def repetition_stats(
     100 TB this runs at scan speed and its output feeds the quality
     gate exactly like ``quality_score``."""
     df = _spread(df, id_col)
+    e = _repetition_exprs(text_col)
+    return df.select(
+        F.col(id_col),
+        *[e[k].alias(k) for k in (
+            "n_words", "dup_word_frac", "dup_2gram_frac", "dup_3gram_frac", "flagged"
+        )],
+    )
+
+
+def _repetition_exprs(text_col: str) -> dict:
+    """THE repetition-filter expressions (shared by repetition_stats
+    and corpus_gate)."""
     # NULL text behaves like empty (size(split(NULL)) is -1 in Spark
     # but NULL in the DuckDB oracle — coalesce on BOTH sides instead)
     w = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
@@ -240,16 +269,14 @@ def repetition_stats(
             F.round(1 - F.size(F.array_distinct(arr)) / F.size(arr), 4),
         ).otherwise(F.lit(0.0))
 
-    g2, g3 = grams(2), grams(3)
-    d2, d3 = dup_frac(g2), dup_frac(g3)
-    return df.select(
-        F.col(id_col),
-        n.cast("long").alias("n_words"),  # oracle len() is BIGINT
-        dup_frac(w).alias("dup_word_frac"),
-        d2.alias("dup_2gram_frac"),
-        d3.alias("dup_3gram_frac"),
-        ((d2 > 0.2) | (d3 > 0.18)).alias("flagged"),
-    )
+    d2, d3 = dup_frac(grams(2)), dup_frac(grams(3))
+    return {
+        "n_words": n.cast("long"),  # oracle len() is BIGINT
+        "dup_word_frac": dup_frac(w),
+        "dup_2gram_frac": d2,
+        "dup_3gram_frac": d3,
+        "flagged": (d2 > 0.2) | (d3 > 0.18),
+    }
 
 
 def corpus_gate(
@@ -268,25 +295,27 @@ def corpus_gate(
     contamination -> quality; '' when kept) — the audit trail a corpus
     report needs, not just a boolean.
 
-    Scale shape: each component is its own certified single-pass
-    operator; composition joins their per-doc outputs on the id (three
-    hash joins co-partitioned by the same key — AQE coalesces them onto
-    one exchange of ~20 B rows/doc). Docs too short to carry an 8-gram
-    have no contamination surface and gate as not-contaminated."""
+    Scale shape: the three row-local filters (lang, quality,
+    repetition) evaluate as ONE projection over ONE scan — their
+    expressions are the same shared definitions the certified
+    standalone rows select from (_lang_exprs/_quality_exprs/
+    _repetition_exprs), so no drift and no extra scans or shuffles.
+    Only decontamination genuinely needs a join (cross-corpus gram
+    equi-join), and it joins back on the id. Docs too short to carry
+    an 8-gram have no contamination surface and gate as
+    not-contaminated."""
     from hydra_spark.ops.dedup import benchmark_contamination
 
-    lang = lang_id(docs, text_col, id_col).select(id_col, "lang_guess")
-    q = quality_score(docs, text_col, id_col).select(id_col, "quality")
-    rep = repetition_stats(docs, text_col, id_col).select(
-        id_col, F.col("flagged").alias("repetitious")
+    local = _spread(docs, id_col).select(
+        F.col(id_col),
+        _lang_exprs(text_col)["lang_guess"].alias("lang_guess"),
+        _quality_exprs(text_col)["quality"].alias("quality"),
+        _repetition_exprs(text_col)["flagged"].alias("repetitious"),
     )
     cont = benchmark_contamination(docs, bench, text_col=text_col, id_col=id_col)
-    j = (
-        lang.join(q, id_col)
-        .join(rep, id_col)
-        .join(cont.select(id_col, "contaminated"), id_col, "left")
-        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
-    )
+    j = local.join(
+        cont.select(id_col, "contaminated"), id_col, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
     keep = (
         (F.col("lang_guess") == "en")
         & ~F.col("repetitious")

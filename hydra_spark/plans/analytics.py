@@ -566,19 +566,19 @@ def customer_running_total(spark, sf_dir):
     from pyspark.sql import Window as W
 
     orders = load(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    # ONE base spec: running_total and order_seq must always agree on
+    # row order, so both windows derive from it
+    base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-        F.row_number()
-        .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
-        .cast("long")
-        .alias("order_seq"),
+        F.round(
+            F.sum("o_totalprice").over(
+                base.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        F.row_number().over(base).cast("long").alias("order_seq"),
     )
 
 

@@ -574,3 +574,49 @@ def test_repetition_stats_known_values(spark):
     assert (r5.dup_word_frac, r5.dup_2gram_frac, r5.dup_3gram_frac, bool(r5.flagged)) == (
         0.0, 0.0, 0.0, False,
     )
+
+
+def test_corpus_gate_reasons_and_keep(spark):
+    """Crafted docs hitting each gate in pipeline order: the FIRST
+    failing gate names the reason; a doc failing several gates reports
+    the earliest one."""
+    from hydra_spark.ops.textstats import corpus_gate
+
+    def en_doc(base):
+        # stopword-rich but with UNIQUE content words, so quality is
+        # high while no 2-/3-gram repeats (repetition gate stays quiet)
+        return " ".join(
+            f"the w{base+4*i} and w{base+4*i+1} of w{base+4*i+2} a w{base+4*i+3}"
+            for i in range(15)
+        )
+
+    rows = [
+        (1, en_doc(0), "s"),                     # keeps
+        (2, "der hund und die katze und das " * 10, "s"),   # lang
+        (3, "the the the the the the the the", "s"),        # en but repetitious
+        (4, en_doc(1000), "s"),                  # clean but IS the benchmark
+        (5, "tiny", "s"),                        # no stopwords -> und -> lang
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = docs.where("doc_id = 4")  # doc 4 IS the benchmark -> contaminated
+    got = {r.doc_id: (bool(r.keep), r.reason) for r in corpus_gate(docs, bench).collect()}
+    assert got[1] == (True, "")
+    assert got[2] == (False, "lang")
+    assert got[3] == (False, "repetition")
+    assert got[4] == (False, "contamination")
+    assert got[5] == (False, "lang")
+
+
+def test_dedup_apply_domination_drop(spark):
+    """Chain pairs (1,2),(2,3): docs 2 and 3 are dominated and drop;
+    an isolated pair (5,6) drops only its higher id."""
+    from hydra_spark.ops.dedup import dedup_apply
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 4, 5, 6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "d1 long, d2 long"
+    )
+    kept = sorted(r.doc_id for r in dedup_apply(docs, pairs).collect())
+    assert kept == [1, 4, 5]

@@ -42,6 +42,30 @@ def entry(spark: SparkSession) -> DataFrame:
 _CLIPS_N = 500
 
 
+def _ensure_sidecar(spark: SparkSession, suffix: str, writer) -> str:
+    """Regenerate an expected-values fixture sidecar next to the clips
+    parquet iff missing or stale. The sidecar path must stay STABLE (the
+    DuckDB oracle SQL hard-codes it), so staleness is tracked by a
+    source-mtime stamp: regenerating the clips fixture forces every
+    sidecar to regenerate — expected values can never be joined stale
+    against new clips. ``writer(spark, clips_dir, out_dir)`` does the
+    actual (mode=overwrite) write."""
+    path = os.path.join("/root/repo/.data/entry", f"clips_n{_CLIPS_N}")
+    spath = path + suffix
+    stamp = os.path.join(spath, "_source_mtime")
+    want = str(int(os.path.getmtime(os.path.join(path, "_SUCCESS"))))
+    fresh = (
+        os.path.exists(os.path.join(spath, "_SUCCESS"))
+        and os.path.exists(stamp)
+        and open(stamp).read() == want
+    )
+    if not fresh:
+        writer(spark, path, spath)
+        with open(stamp, "w") as f:
+            f.write(want)
+    return spath
+
+
 def _clips(spark: SparkSession) -> DataFrame:
     from hydra_spark import synth
 
@@ -57,20 +81,9 @@ def _clips(spark: SparkSession) -> DataFrame:
     # tracked by a source-mtime stamp: regenerating the clips fixture
     # forces the expected features to regenerate too — they can never be
     # joined stale against new clips.
-    fpath = path + "_features_v4"
-    stamp = os.path.join(fpath, "_source_mtime")
-    want = str(int(os.path.getmtime(os.path.join(path, "_SUCCESS"))))
-    fresh = (
-        os.path.exists(os.path.join(fpath, "_SUCCESS"))
-        and os.path.exists(stamp)
-        and open(stamp).read() == want
-    )
-    if not fresh:
-        # expected decode features via the per-row float64 oracle path —
-        # lets DuckDB verify the vectorized decode + window rollup
-        synth.write_clip_features(spark, path, fpath)  # mode=overwrite
-        with open(stamp, "w") as f:
-            f.write(want)
+    # expected decode features via the per-row float64 oracle path —
+    # lets DuckDB verify the vectorized decode + window rollup
+    _ensure_sidecar(spark, "_features_v4", synth.write_clip_features)
     return spark.read.parquet(path)
 
 
@@ -297,22 +310,37 @@ def clips_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hydra_spark.functions.vad import vad_clips
 
     clips = _clips(spark)
-    path = os.path.join("/root/repo/.data/entry", f"clips_n{_CLIPS_N}")
-    vpath = path + "_vad_v1"
-    stamp = os.path.join(vpath, "_source_mtime")
-    want = str(int(os.path.getmtime(os.path.join(path, "_SUCCESS"))))
-    fresh = (
-        os.path.exists(os.path.join(vpath, "_SUCCESS"))
-        and os.path.exists(stamp)
-        and open(stamp).read() == want
-    )
-    if not fresh:
-        synth.write_clip_vad(spark, path, vpath)  # mode=overwrite
-        with open(stamp, "w") as f:
-            f.write(want)
+    _ensure_sidecar(spark, "_vad_v1", synth.write_clip_vad)
     out = vad_clips(clips, frame_ms=20).where(F.col("vad_error").isNull())
     return out.select(
         "clip_id", "n_frames", "n_speech_frames", "n_segments", "longest_run"
+    )
+
+
+def clips_mel_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel filterbank energies (functions/mel.py): 8 triangular HTK-mel
+    bands over the first N_FFT samples, one row per (clip_id, band).
+    Engine path is chunk-batched 2D rfft + one GEMM per distinct sample
+    rate; the oracle is the independently written per-row fixture
+    (audio.mel_energies via synth.write_clip_mel — rfft + mat-vec per
+    clip). 4 dp rounding on both sides absorbs the GEMM-vs-gemv
+    summation-order difference (~1e-12 dB); per-row parity at 1e-9 is
+    pinned in tests/test_mel.py. Error / empty / sr<=0 rows are excluded
+    symmetrically (NULL band in the fixture, NULL mel_db here)."""
+    from hydra_spark import synth
+    from hydra_spark.functions.mel import mel_clips
+
+    clips = _clips(spark)
+    _ensure_sidecar(spark, "_mel_v1", synth.write_clip_mel)
+    out = mel_clips(clips).where(
+        F.col("decode_error").isNull() & F.col("mel_db").isNotNull()
+    )
+    return out.select(
+        "clip_id", F.posexplode("mel_db").alias("band", "db")
+    ).select(
+        "clip_id",
+        F.col("band").cast("int").alias("band"),
+        F.round("db", 4).alias("mel_db"),
     )
 
 
@@ -895,6 +923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 d, D.minhash_lsh_pairs(d, threshold=0.5, bands=64)
             ).select("doc_id", "source", "n_chars")
         ),
+        # mel filterbank energies: batched-rfft + per-rate GEMM engine
+        # path vs the independently written per-row fixture sidecar
+        "clips_mel_bands": clips_mel_bands,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -2314,6 +2345,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, n_frames, n_speech_frames, n_segments, longest_run
             FROM read_parquet('/root/repo/.data/entry/clips_n500_vad_v1/*.parquet')
             WHERE n_frames IS NOT NULL
+        """,
+        # fixture = per-row audio.mel_energies (rfft + mat-vec); 4 dp
+        # rounding absorbs the engine's GEMM summation-order difference;
+        # NULL-band rows are the fixture's error/empty/sr<=0 markers,
+        # excluded symmetrically (engine filters NULL mel_db)
+        "clips_mel_bands": """
+            SELECT clip_id, band, round(mel_db, 4) AS mel_db
+            FROM read_parquet('/root/repo/.data/entry/clips_n500_mel_v1/*.parquet')
+            WHERE band IS NOT NULL
         """,
         # the registry the row commits is deterministic, so the oracle
         # is a CASE over the same routes; disabled (alaw) and unknown

@@ -247,6 +247,54 @@ def spectral_features(x: np.ndarray, sr_hz: int, n_fft: int = N_FFT):
     return centroid, dominant
 
 
+N_MELS = 8  # triangular mel bands over 0..sr/2
+MEL_DB_EPS = 1e-12  # dB floor: 10*log10(E + EPS) >= -120 for silent bands
+
+
+def hz_to_mel(f) -> np.ndarray:
+    """HTK mel scale: m = 2595 * log10(1 + f/700)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(m) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(sr_hz: int, n_fft: int = N_FFT, n_mels: int = N_MELS) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular filterbank on the HTK mel scale,
+    spanning 0..sr/2 — the standard mel-spectrogram front end (public
+    construction; cf. HTK book / librosa.filters.mel(norm=None)).
+    Only 4 distinct sr_hz values exist in the corpus (FIXTURES.md §1),
+    so the engine caches one matrix per rate and batches the matmul."""
+    n_bins = n_fft // 2 + 1
+    pts_hz = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr_hz / 2.0), n_mels + 2))
+    bin_hz = np.arange(n_bins, dtype=np.float64) * (float(sr_hz) / n_fft)
+    lo, ctr, hi = pts_hz[:-2, None], pts_hz[1:-1, None], pts_hz[2:, None]
+    up = (bin_hz[None, :] - lo) / (ctr - lo)
+    down = (hi - bin_hz[None, :]) / (hi - ctr)
+    return np.maximum(0.0, np.minimum(up, down))
+
+
+def mel_energies(x: np.ndarray, sr_hz: int, n_fft: int = N_FFT, n_mels: int = N_MELS):
+    """Per-row oracle form of the engine's batched mel stage
+    (functions/mel.py):
+
+      w     = x[:n_fft] zero-padded to n_fft                (float32)
+      power = |rfft(w)|^2                                   (float64)
+      E_m   = filterbank_m . power ; db_m = 10*log10(E_m + MEL_DB_EPS)
+
+    Returns (n_mels,) float64, or None for an empty clip. All-silent
+    windows are well-defined (every band sits at the -120 dB floor)."""
+    n = min(len(x), n_fft)
+    if n == 0:
+        return None
+    w = np.zeros(n_fft, dtype=np.float32)
+    w[:n] = x[:n_fft]
+    mag = np.abs(np.fft.rfft(w)).astype(np.float64)
+    e = mel_filterbank(sr_hz, n_fft, n_mels) @ (mag * mag)
+    return 10.0 * np.log10(e + MEL_DB_EPS)
+
+
 # ---------------------------------------------------------------- stats
 
 def zero_crossings(x: np.ndarray) -> int:

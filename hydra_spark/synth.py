@@ -277,6 +277,47 @@ def write_clip_vad(
     return out_dir
 
 
+def write_clip_mel(
+    spark: SparkSession, clips_dir: str, out_dir: str
+) -> str:
+    """Per-clip EXPECTED mel band energies for the fixture oracle,
+    computed by the per-row reference ``audio.mel_energies`` (one rfft
+    and one mat-vec per clip) — NOT the engine's chunk-batched 2D-fft +
+    GEMM kernel (functions/mel.py). One output row per (clip_id, band);
+    error / empty / sr<=0 clips emit a single row with NULL band so the
+    oracle's NOT NULL filter excludes them symmetrically."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, buf, codec, sr in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                try:
+                    if int(sr) <= 0:
+                        raise ValueError("non-positive sr_hz")
+                    x = audio.decode(None if buf is None else bytes(buf), str(codec))
+                    db = audio.mel_energies(x, int(sr))
+                except Exception:
+                    db = None
+                if db is None:
+                    rows.append((cid, None, None))
+                    continue
+                rows.extend((cid, b, float(db[b])) for b in range(len(db)))
+            yield pd.DataFrame(rows, columns=["clip_id", "band", "mel_db"])
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("band", T.IntegerType(), True),
+            T.StructField("mel_db", T.DoubleType(), True),
+        ]
+    )
+    clips = spark.read.parquet(clips_dir).select("clip_id", "bytes", "codec", "sr_hz")
+    clips.mapInPandas(fn, schema=schema).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
 def split_streams(
     spark: SparkSession,
     clips_dir: str,

@@ -344,6 +344,28 @@ def clips_mel_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITU-R BS.1770-4 integrated loudness per clip (functions/
+    loudness.py): K-weighting (cached-FIR FFT convolution), 400 ms
+    gated blocks at 75% overlap, absolute -70 then relative -10 gating.
+    Engine and fixture share the per-clip kernel (bit-identical values;
+    4 dp rounding is belt-and-braces), so this row certifies decode +
+    plumbing — the loudness MATH is pinned independently in
+    tests/test_loudness.py (spec coefficient table at 48 kHz, FIR vs
+    direct per-sample IIR, 997 Hz sine at -3.01 LKFS). Clips shorter
+    than one block or fully gated have NULL lufs but keep their block
+    accounting; error rows are excluded on both sides."""
+    from hydra_spark import synth
+    from hydra_spark.functions.loudness import loudness_clips
+
+    clips = _clips(spark)
+    _ensure_sidecar(spark, "_lufs_v1", synth.write_clip_lufs)
+    out = loudness_clips(clips).where(F.col("decode_error").isNull())
+    return out.select(
+        "clip_id", F.round("lufs", 4).alias("lufs"), "n_blocks", "n_gated"
+    )
+
+
 def clips_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec transcode to ulaw (functions/transcode.py) — storage-side
     normalization of a mixed-codec corpus. SQL-checkable projection:
@@ -926,6 +948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mel filterbank energies: batched-rfft + per-rate GEMM engine
         # path vs the independently written per-row fixture sidecar
         "clips_mel_bands": clips_mel_bands,
+        # BS.1770 integrated loudness (gated LUFS); math pinned in
+        # pytest vs the spec table / per-sample IIR / sine reference
+        "clips_loudness": clips_loudness,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -2354,6 +2379,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, band, round(mel_db, 4) AS mel_db
             FROM read_parquet('/root/repo/.data/entry/clips_n500_mel_v1/*.parquet')
             WHERE band IS NOT NULL
+        """,
+        # NULL n_blocks marks the fixture's error rows (engine filters
+        # decode_error instead); short/fully-gated clips keep NULL lufs
+        # with real block counts on both sides
+        "clips_loudness": """
+            SELECT clip_id, round(lufs, 4) AS lufs, n_blocks, n_gated
+            FROM read_parquet('/root/repo/.data/entry/clips_n500_lufs_v1/*.parquet')
+            WHERE n_blocks IS NOT NULL
         """,
         # the registry the row commits is deterministic, so the oracle
         # is a CASE over the same routes; disabled (alaw) and unknown

@@ -324,6 +324,122 @@ def lead_trail_silent(x: np.ndarray, eps: np.float32 = SILENCE_EPS) -> tuple[int
     return int(nz[0]), int(len(x) - 1 - nz[-1])
 
 
+# ---------------------------------------------------------------- loudness
+# ITU-R BS.1770-4 integrated loudness (public spec). K-weighting is two
+# biquads — a +4 dB high shelf and the RLB ~38 Hz high-pass — specified
+# at 48 kHz and re-derived here for arbitrary rates via the standard
+# bilinear-transform prefilter design (the same published derivation
+# pyloudnorm uses); test_loudness.py pins the 48 kHz coefficients to the
+# spec's table and the FIR approximation against a direct per-sample IIR.
+
+LUFS_BLOCK_S = 0.400  # gating block length (spec §1, Table 2)
+LUFS_HOP_S = 0.100  # 75% overlap
+LUFS_ABS_GATE = -70.0  # absolute gate (LKFS)
+_LUFS_OFFSET = -0.691  # mono channel weight 1.0
+
+
+def _k_weighting_coeffs(sr_hz: int):
+    """[(b, a), (b, a)] biquad cascade for K-weighting at sr_hz."""
+    fs = float(sr_hz)
+    # stage 1: spherical-head high shelf
+    db, f0, q = 3.999843853973347, 1681.974450955533, 0.7071752369554196
+    k = np.tan(np.pi * f0 / fs)
+    vh = 10.0 ** (db / 20.0)
+    vb = vh ** 0.4996667741545416
+    a0 = 1.0 + k / q + k * k
+    b_s = np.array(
+        [(vh + vb * k / q + k * k) / a0, 2.0 * (k * k - vh) / a0, (vh - vb * k / q + k * k) / a0]
+    )
+    a_s = np.array([1.0, 2.0 * (k * k - 1.0) / a0, (1.0 - k / q + k * k) / a0])
+    # stage 2: RLB revised low-frequency B-weighting high-pass
+    f0, q = 38.13547087602444, 0.5003270373238773
+    k = np.tan(np.pi * f0 / fs)
+    a0 = 1.0 + k / q + k * k
+    b_h = np.array([1.0, -2.0, 1.0])
+    a_h = np.array([1.0, 2.0 * (k * k - 1.0) / a0, (1.0 - k / q + k * k) / a0])
+    return [(b_s, a_s), (b_h, a_h)]
+
+
+def biquad_direct(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Direct-form-I biquad, per-sample recursion — the ground-truth
+    filter (slow; used to derive impulse responses and in tests)."""
+    y = np.zeros(len(x), dtype=np.float64)
+    x1 = x2 = y1 = y2 = 0.0
+    for i in range(len(x)):
+        xi = float(x[i])
+        yi = b[0] * xi + b[1] * x1 + b[2] * x2 - a[1] * y1 - a[2] * y2
+        y[i] = yi
+        x2, x1 = x1, xi
+        y2, y1 = y1, yi
+    return y
+
+
+_K_FIR_CACHE: dict[int, np.ndarray] = {}
+
+
+def _k_fir(sr_hz: int) -> np.ndarray:
+    """Truncated impulse response of the K-weighting cascade. The
+    slowest pole (RLB high-pass, ~38 Hz, Q≈0.5) decays with tau ~4 ms,
+    so 0.25 s of taps truncates below 1e-20 — far under float64 noise —
+    making FFT convolution with this FIR numerically equal to the IIR
+    cascade (pinned in tests). Built once per rate with the per-sample
+    recursion (runs once, then cached)."""
+    h = _K_FIR_CACHE.get(sr_hz)
+    if h is None:
+        n = max(8192, int(0.25 * sr_hz))
+        imp = np.zeros(n, dtype=np.float64)
+        imp[0] = 1.0
+        for b, a in _k_weighting_coeffs(sr_hz):
+            imp = biquad_direct(b, a, imp)
+        h = _K_FIR_CACHE[sr_hz] = imp
+    return h
+
+
+def k_weight(x: np.ndarray, sr_hz: int) -> np.ndarray:
+    """Apply K-weighting via FFT convolution with the cached FIR
+    (causal: output trimmed to len(x))."""
+    h = _k_fir(sr_hz)
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x) + len(h) - 1
+    nfft = 1 << max(1, (n - 1).bit_length())
+    return np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(h, nfft), nfft)[: len(x)]
+
+
+def lufs_integrated(x: np.ndarray, sr_hz: int):
+    """BS.1770-4 integrated loudness of a mono clip.
+
+    Returns (lufs, n_blocks, n_gated): lufs is None when the clip is
+    shorter than one 400 ms block or every block falls below the gates
+    (all-silence); n_gated counts blocks surviving BOTH gates. The
+    block mean-squares are computed via one cumsum (vectorized), and
+    this single shared definition is used by the engine stage
+    (functions/loudness.py) AND the fixture writer, so engine/fixture
+    values are bit-identical."""
+    block = int(round(LUFS_BLOCK_S * sr_hz))
+    hop = int(round(LUFS_HOP_S * sr_hz))
+    if len(x) < block or block <= 0:
+        return None, 0, 0
+    y = k_weight(x, sr_hz)
+    n_blocks = 1 + (len(y) - block) // hop
+    c = np.concatenate(([0.0], np.cumsum(y * y)))
+    starts = np.arange(n_blocks, dtype=np.int64) * hop
+    z = (c[starts + block] - c[starts]) / float(block)
+    with np.errstate(divide="ignore"):
+        lb = _LUFS_OFFSET + 10.0 * np.log10(z)  # -inf for silent blocks
+    keep = lb > LUFS_ABS_GATE
+    if not keep.any():
+        return None, n_blocks, 0
+    rel = _LUFS_OFFSET + 10.0 * np.log10(z[keep].mean()) - 10.0
+    keep &= lb > rel
+    if not keep.any():
+        return None, n_blocks, 0
+    return (
+        float(_LUFS_OFFSET + 10.0 * np.log10(z[keep].mean())),
+        int(n_blocks),
+        int(keep.sum()),
+    )
+
+
 # ---------------------------------------------------------------- metrics
 
 def snr_db(ref: np.ndarray, out: np.ndarray) -> float:

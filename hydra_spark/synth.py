@@ -318,6 +318,47 @@ def write_clip_mel(
     return out_dir
 
 
+def write_clip_lufs(
+    spark: SparkSession, clips_dir: str, out_dir: str
+) -> str:
+    """Per-clip EXPECTED BS.1770 integrated loudness for the fixture
+    oracle — the shared definition ``audio.lufs_integrated`` applied
+    per row (the loudness MATH itself is pinned independently of this
+    sidecar in tests/test_loudness.py: spec coefficient table, IIR
+    parity, sine reference level). Error / sr<=0 rows emit NULL
+    n_blocks so the oracle excludes them symmetrically; short/silent
+    clips keep n_blocks and a NULL lufs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, buf, codec, sr in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                try:
+                    if int(sr) <= 0:
+                        raise ValueError("non-positive sr_hz")
+                    x = audio.decode(None if buf is None else bytes(buf), str(codec))
+                except Exception:
+                    rows.append((cid, None, None, None))
+                    continue
+                l, nb, ng = audio.lufs_integrated(x, int(sr))
+                rows.append((cid, l, nb, ng))
+            yield pd.DataFrame(rows, columns=["clip_id", "lufs", "n_blocks", "n_gated"])
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("lufs", T.DoubleType(), True),
+            T.StructField("n_blocks", T.IntegerType(), True),
+            T.StructField("n_gated", T.IntegerType(), True),
+        ]
+    )
+    clips = spark.read.parquet(clips_dir).select("clip_id", "bytes", "codec", "sr_hz")
+    clips.mapInPandas(fn, schema=schema).write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
 def split_streams(
     spark: SparkSession,
     clips_dir: str,

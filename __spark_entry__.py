@@ -951,6 +951,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BS.1770 integrated loudness (gated LUFS); math pinned in
         # pytest vs the spec table / per-sample IIR / sine reference
         "clips_loudness": clips_loudness,
+        # TPC-H Q7: bilateral nation-pair trade, residual disjunction
+        "tpch_q7": A.tpch_q7,
+        # TPC-H Q8: market share, 3 broadcast dim chains, one cond-sum
+        "tpch_q8": A.tpch_q8,
+        # TPC-H Q13 (adapted: priority filter for o_comment): left join
+        # preserving zero-order customers, two-level aggregate
+        "tpch_q13": A.tpch_q13,
+        # TPC-H Q15: quarter revenue view + 1-row max broadcast-back
+        "tpch_q15": A.tpch_q15,
+        # TPC-H Q19 (adapted: brand/size/qty disjuncts): OR residual
+        # with separable envelopes pushed below the broadcast join
+        "tpch_q19": A.tpch_q19,
+        # TPC-H Q22 (adapted: nationkey codes, dormant-since-1999):
+        # scalar-subquery broadcast + LEFT ANTI recency join
+        "tpch_q22": A.tpch_q22,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -2387,6 +2402,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, round(lufs, 4) AS lufs, n_blocks, n_gated
             FROM read_parquet('/root/repo/.data/entry/clips_n500_lufs_v1/*.parquet')
             WHERE n_blocks IS NOT NULL
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 4) AS revenue
+            FROM (
+                SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                       year(l_shipdate) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+                  AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+                    OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3'))
+            )
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN ns.n_name = 'NATION_7'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            JOIN region ON nc.n_regionkey = r_regionkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        # adapted predicate: priority NOT IN urgent/high stands in for
+        # the spec's o_comment LIKE exclusion (fixture has no comment)
+        "tpch_q13": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                     AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # adapted: cntrycode = c_nationkey (no c_phone column); 'no
+        # orders' = no orders on/after 1999-01-01 (every fixture
+        # customer has some order)
+        "tpch_q22": """
+            SELECT c_nationkey AS cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer c
+            WHERE c_nationkey IN (3, 8, 13, 17, 22)
+              AND c_acctbal > (
+                    SELECT avg(c_acctbal) FROM customer
+                    WHERE c_acctbal > 0.0
+                      AND c_nationkey IN (3, 8, 13, 17, 22))
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders
+                    WHERE o_custkey = c.c_custkey
+                      AND o_orderdate >= DATE '1999-01-01')
+            GROUP BY 1
+            ORDER BY 1
         """,
         # the registry the row commits is deterministic, so the oracle
         # is a CASE over the same routes; disabled (alaw) and unknown

@@ -1494,6 +1494,226 @@ def tpch_q18(spark, sf_dir):
     )
 
 
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by year. Plan shape for 100 TB: both dimension chains
+    (supplier->nation, customer->nation) are filtered to the two
+    nations BEFORE their joins — supplier broadcasts, and the customer
+    join's shuffle carries only two nations' customers; the pair
+    disjunction (s=A,c=B) or (s=B,c=A) is a residual on the joined rows
+    (it references both sides, so it cannot push lower). lineitem's
+    two-year ship-date filter reaches the scan."""
+    n1, n2 = "NATION_3", "NATION_8"
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name").isin(n1, n2))
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): one nation's share of a
+    region's ECONOMY-part import volume by year. Plan shape for 100 TB:
+    the three dimension chains all broadcast (part filtered by type;
+    supplier->nation for the numerator tag; customer->nation->region
+    filtered to the region), so the fact shuffles only for the final
+    year aggregate; numerator and denominator come out of ONE
+    conditional-sum pass, not two scans."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_in_region = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution), adapted: the
+    fixture has no o_comment, so the excluded-orders predicate is
+    priority-based (urgent/high dropped) instead of the spec's comment
+    LIKE. Plan shape for 100 TB: the per-customer count aggregates the
+    ORDERS side first (map-side partials), the LEFT join preserves
+    zero-order customers as NULL->0, and the second aggregate's key
+    space (distinct counts) is tiny. Customer never joins the raw fact
+    row-for-row at the reducers — only the pre-counted keys."""
+    orders = load(spark, sf_dir, "orders").where(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    c_counts = cust.join(
+        per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+    return (
+        c_counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): revenue view for one quarter, then the
+    supplier(s) achieving the maximum. Plan shape for 100 TB: ONE scan
+    of the filtered fact builds the per-supplier revenue set (a
+    DataFrame reused as `rev.agg(max)` would recompute the whole
+    subplan — Spark has no automatic CTE reuse across actions — so the
+    global max is a WINDOW over the aggregated rows instead: the
+    single-partition exchange it forces carries only one narrow row per
+    supplier, millions at worst, never fact rows). Supplier is a
+    broadcast dimension at the end. Ties (all suppliers at the max) are
+    all returned, like the spec's view form."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = F.max("total_revenue").over(Window.partitionBy())
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.withColumn("mx", mx)
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue), adapted to the fixture's columns
+    (no container/shipmode): three brand/size/quantity disjuncts. Plan
+    shape for 100 TB: part is broadcast; each disjunct references both
+    fact (quantity) and dimension (brand, size) columns, so the OR is a
+    post-join residual — but the quantity envelope (1..30, the union of
+    the disjunct ranges) and the part-side brand envelope ARE separable
+    and pushed below the join, so the join sees a pre-shrunk fact."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#14")
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    d1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#14")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(d1 | d2 | d3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted: the fixture has
+    no c_phone, so the 'country code' is c_nationkey, and since every
+    fixture customer has SOME order, 'no orders' becomes 'no orders
+    since 1999' (dormant accounts). Plan shape for 100 TB: the
+    positive-balance average is a 1-row broadcast (scalar subquery);
+    the dormancy check is a LEFT ANTI join against orders pre-filtered
+    to the recency window (the anti join's build side shrinks to
+    recent-order keys); customer is scanned once for the average and
+    once for the report — both scans prune to two columns."""
+    codes = [3, 8, 13, 17, 22]
+    cust = load(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(codes))
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+    dormant = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        dormant.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def table_delete_where(spark, sf_dir):
     """Predicate DELETE as a file-pruned copy-on-write rewrite
     (tables.delete_where): four weekly event generations, then DELETE a

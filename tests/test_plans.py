@@ -213,3 +213,69 @@ def test_tpch_q10_and_q14_broadcast_dims(spark):
     assert "TakeOrderedAndProject" in p10  # top-k, not a full sort
     p14 = plan_of(A.tpch_q14(spark, SF))
     assert "BroadcastHashJoin" in p14 and "SortMergeJoin" not in p14
+
+
+def test_tpch_q7_filters_dims_before_join(spark):
+    """Q7: both nation-filtered dimension chains broadcast; the
+    two-year shipdate range reaches the lineitem scan; the pair
+    disjunction stays a residual (it references both join sides)."""
+    p = plan_of(A.tpch_q7(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+    # nation IN-filter pushed into both dim scans
+    assert p.count("In(n_name") >= 2
+
+
+def test_tpch_q8_all_dims_broadcast_one_agg_pass(spark):
+    """Q8: part/supplier/customer chains broadcast (no fact sort-merge);
+    numerator+denominator come from ONE aggregate (conditional sum) —
+    two HashAggregate headers (partial+final), not four."""
+    p = plan_of(A.tpch_q8(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(p_type,ECONOMY)" in p
+    assert p.count(") HashAggregate") == 2
+
+
+def test_tpch_q13_preaggregates_orders(spark):
+    """Q13: the per-customer count aggregates orders BEFORE the left
+    join (partial agg below the exchange), so the join carries one row
+    per customer key, not one per order."""
+    p = plan_of(A.tpch_q13(spark, SF))
+    # priority exclusion pushed to the orders scan
+    assert "Not(In(o_orderpriority" in p
+    # agg(orders) -> join -> agg(distribution): >= 4 partial/final
+    assert p.count(") HashAggregate") >= 4
+
+
+def test_tpch_q15_single_fact_pass(spark):
+    """Q15: ONE scan of lineitem builds the revenue view (the max is a
+    window over per-supplier aggregates, not a second subplan of the
+    fact); supplier broadcasts."""
+    p = plan_of(A.tpch_q15(spark, SF))
+    # each scan prints twice (tree + detail header): 2 scans => 4 hits
+    assert p.count("Scan parquet") == 4
+    assert "BroadcastHashJoin" in p and "Window" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_tpch_q19_pushes_envelopes(spark):
+    """Q19: the OR residual can't push, but its separable envelopes do —
+    quantity range to the fact scan, brand IN-list to the part scan."""
+    p = plan_of(A.tpch_q19(spark, SF))
+    assert "GreaterThanOrEqual(l_quantity,1" in p
+    assert "LessThanOrEqual(l_quantity,30" in p
+    assert "In(p_brand" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22: dormancy is a LEFT ANTI broadcast join against the
+    recency-filtered orders keys; the average is a 1-row broadcast (a
+    nested-loop degenerate join, not a shuffle); the nationkey code
+    list prunes the customer scan."""
+    p = plan_of(A.tpch_q22(spark, SF))
+    assert "LeftAnti" in p
+    assert "In(c_nationkey" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "SortMergeJoin" not in p

@@ -966,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q22 (adapted: nationkey codes, dormant-since-1999):
         # scalar-subquery broadcast + LEFT ANTI recency join
         "tpch_q22": A.tpch_q22,
+        # Z-order compaction: (value, user_id) Z-curve rewrite, file
+        # pruning on BOTH axes asserted engine-side
+        "table_zorder_scan": A.table_zorder_scan,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -2478,6 +2481,19 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # answers are residual-filtered (pruning only removes work), so
+        # raw-events SQL is the exact oracle for both probes
+        "table_zorder_scan": """
+            SELECT 'by_value' AS probe, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events WHERE value BETWEEN 100.0 AND 160.0
+            UNION ALL
+            SELECT 'by_user', CAST(count(*) AS BIGINT),
+                   round(sum(value), 2),
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+            FROM events WHERE user_id BETWEEN 30 AND 59
         """,
         # adapted: cntrycode = c_nationkey (no c_phone column); 'no
         # orders' = no orders on/after 1999-01-01 (every fixture

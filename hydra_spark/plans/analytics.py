@@ -1087,6 +1087,60 @@ def table_skipping_scan(spark, sf_dir):
     )
 
 
+def table_zorder_scan(spark, sf_dir):
+    """Z-order compaction (tables.compact zorder_by — the Delta OSS
+    Z-ORDER analog): events rewrite onto a (value, user_id) Z-curve,
+    after which range queries on EITHER axis prune files via manifest
+    stats. A single-column sort gives perfect pruning on one axis and
+    none on the other; the Z-curve's locality gives ~sqrt-fraction
+    pruning on both — the right layout for a 10^12-row table queried
+    independently by time AND by entity. Both probes' pruning is
+    asserted engine-side (a layout regression fails the row loudly);
+    answers are residual-filtered so pruning can only remove work —
+    the oracle recomputes both probes from raw events in SQL."""
+    import os as _os
+    import shutil as _shutil
+
+    from hydra_spark.tables import TransactionalTable
+
+    root = _os.path.join(
+        "/root/repo/.data/entry", f"zorder_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    t = TransactionalTable(root, ["event_id"], n_buckets=1)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n = ev.count()
+    t.append_dedup(spark, ev, "g0")
+    t.compact(
+        spark,
+        max_files_per_bucket=0,
+        zorder_by=["value", "user_id"],
+        target_file_rows=max(64, n // 16),
+    )
+    probes = {"by_value": {"value": (100.0, 160.0)}, "by_user": {"user_id": (30, 59)}}
+    out = None
+    for name, pred in probes.items():
+        kept, total = t.plan_files(pred)
+        if not kept or len(kept) >= total:
+            raise RuntimeError(
+                f"z-order pruning regressed: probe {name} planned "
+                f"{len(kept)}/{total} files"
+            )
+        agg = (
+            t.read_where(spark, pred)
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .select(F.lit(name).alias("probe"), "n_events", "sum_value", "n_users")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 def table_changes(spark, sf_dir):
     """Change-data-feed read between two snapshots (tables.py
     read_changes — Delta CDF / Iceberg incremental-scan analog; Hydra

@@ -247,6 +247,39 @@ def _stats_admit(entry: dict | None, lo, hi) -> bool:
     return True
 
 
+ZORDER_BITS = 16  # per-column resolution of the Z-curve (65536 ranks)
+
+
+def _interleave_bits(col: Column, idx: int, stride: int, bits: int) -> Column:
+    """Morton/Z-curve bit spread as a pure JVM expression tree: bit j of
+    ``col`` lands at output position j*stride + idx. No UDF — whole-stage
+    codegen folds the shift/mask chain into straight-line long
+    arithmetic (the classic magic-number spread, unrolled; public
+    technique, e.g. Delta OSS OptimizeTableCommand's Z-order)."""
+    out = F.shiftleft(col.bitwiseAND(F.lit(1)), idx)
+    for j in range(1, bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(col, j).bitwiseAND(F.lit(1)), j * stride + idx)
+        )
+    return out
+
+
+def _zorder_rank(expr: Column, lo, hi, bits: int) -> Column:
+    """Equal-width rank of a (double-normalized) column expression into
+    [0, 2^bits): width_bucket against the table-wide bounds, clamped,
+    NULLs to rank 0. Equal-width (not equal-frequency) keeps the rank a
+    pure per-row expression — no quantile pass — at the cost of skew
+    sensitivity; bounds come from manifest stats so no data is scanned."""
+    n = 1 << bits
+    if lo is None or hi is None or not (float(hi) > float(lo)):
+        return F.lit(0).cast("long")
+    wb = F.width_bucket(expr, F.lit(float(lo)), F.lit(float(hi)), F.lit(n))
+    return F.coalesce(
+        (F.least(F.greatest(wb, F.lit(1)), F.lit(n)) - F.lit(1)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+
+
 def _project_to_schema(df: DataFrame, fields: list[dict]) -> DataFrame:
     """Project a file-group DataFrame onto a registered schema: fields
     the group's files lack become their declared default (else NULL);
@@ -595,6 +628,73 @@ class TransactionalTable:
             )
         return out
 
+    def _zorder_key(self, df: DataFrame, cols: list[str], m: dict, files: list[str]) -> Column:
+        """Z-curve key over 2..4 numeric/timestamp columns: each column
+        ranks into 2^ZORDER_BITS equal-width buckets against its
+        TABLE-WIDE bounds, and the ranks bit-interleave into one long.
+        Bounds come from the manifest's per-file stats (no data scan);
+        only if a rewrite-candidate file predates stats collection does
+        a one-pass min/max aggregate run as fallback."""
+        from pyspark.sql import types as _T
+
+        def norm(c: str, is_ts: bool) -> Column:
+            return (
+                F.unix_micros(F.col(c)).cast("double")
+                if is_ts
+                else F.col(c).cast("double")
+            )
+
+        fstats = m.get("file_stats", {})
+        bounds: dict[str, tuple] = {}
+        missing = False
+        for c in cols:
+            lo = hi = t = None
+            for p in files:
+                e = fstats.get(p, {}).get(c)
+                if e is None:
+                    missing = True
+                    break
+                if e["lo"] is None:  # all-NULL file: no bound contribution
+                    continue
+                if e["t"] == "str":
+                    raise ValueError(
+                        f"zorder_by supports numeric/timestamp columns; {c!r} "
+                        "has string-ordered stats"
+                    )
+                t = t or e["t"]
+                lo = e["lo"] if lo is None else min(lo, e["lo"])
+                hi = e["hi"] if hi is None else max(hi, e["hi"])
+            if missing:
+                break
+            bounds[c] = (lo, hi, t == "ts")
+        if missing:
+            bounds = {}
+            aggs = []
+            for c in cols:
+                dt = df.schema[c].dataType
+                if isinstance(dt, _T.TimestampType):
+                    is_ts = True
+                elif isinstance(dt, _T.NumericType):
+                    is_ts = False
+                else:
+                    raise ValueError(
+                        f"zorder_by supports numeric/timestamp columns; {c!r} is {dt}"
+                    )
+                e = norm(c, is_ts)
+                aggs += [F.min(e).alias(f"lo_{c}"), F.max(e).alias(f"hi_{c}")]
+                bounds[c] = is_ts  # placeholder, filled below
+            row = df.agg(*aggs).collect()[0]
+            bounds = {
+                c: (row[f"lo_{c}"], row[f"hi_{c}"], bounds[c]) for c in cols
+            }
+        key = None
+        for i, c in enumerate(cols):
+            lo, hi, is_ts = bounds[c]
+            rank = _zorder_rank(norm(c, is_ts), lo, hi, ZORDER_BITS)
+            part = _interleave_bits(rank, i, len(cols), ZORDER_BITS)
+            key = part if key is None else key.bitwiseOR(part)
+        return key
+
     def compact(
         self,
         spark: SparkSession,
@@ -602,6 +702,7 @@ class TransactionalTable:
         buckets: list[int] | None = None,
         sort_by: list[str] | None = None,
         target_file_rows: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """Rewrite multi-file buckets into single files — the Iceberg
         ``rewrite_data_files`` (binpack) analog, and the consumer of the
@@ -636,8 +737,26 @@ class TransactionalTable:
         putting _bucket first in the sort, so the per-bucket sort is
         not re-sorted away.
 
+        ``zorder_by`` (2-4 numeric/timestamp columns, exclusive with
+        ``sort_by``) = Delta's Z-ORDER rewrite: each column ranks into
+        2^16 equal-width buckets against its table-wide bounds (taken
+        from manifest stats — no extra scan) and the ranks
+        bit-interleave into one long sort key. Where a single-column
+        sort gives perfect pruning on that column and none on others,
+        the Z-curve's locality gives ~sqrt-fraction file pruning on
+        EVERY participating column — the right layout when a table is
+        range-queried on two independent axes (e.g. event time AND
+        user id).
+
         Returns {"buckets_compacted", "files_before", "files_after"}.
         """
+        if zorder_by is not None:
+            if sort_by:
+                raise ValueError("sort_by and zorder_by are mutually exclusive")
+            if not 2 <= len(zorder_by) <= 4:
+                raise ValueError(
+                    f"zorder_by takes 2-4 columns, got {len(zorder_by)}"
+                )
         m = self.manifest()
         cands = {
             b: fl
@@ -649,6 +768,8 @@ class TransactionalTable:
             return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
         files = [p for fl in cands.values() for p in fl]
         df = self._read_files(spark, files, m).withColumn("_bucket", self._bucket_col())
+        if zorder_by:
+            df = df.withColumn("_zkey", self._zorder_key(df, zorder_by, m, files))
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.path, "data", f"compact-{commit_id}")
         out = df.repartition(len(cands), "_bucket")
@@ -657,6 +778,10 @@ class TransactionalTable:
         # rewrite splits it at target_file_rows into contiguous ranges
         if sort_by:
             out = out.sortWithinPartitions("_bucket", *sort_by)
+        elif zorder_by:
+            # the projection dropping the key runs above the sort and
+            # preserves row order; files then hold contiguous Z-ranges
+            out = out.sortWithinPartitions("_bucket", "_zkey").drop("_zkey")
         writer = out.write.mode("overwrite")
         if target_file_rows is not None:
             if target_file_rows < 1:

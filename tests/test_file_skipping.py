@@ -330,3 +330,77 @@ def test_update_where_guards_fire_early_and_on_type_change(spark, tmp_path):
     for tab in (t, t2):
         assert tab.read(spark).count() == 2
         assert {r.v for r in tab.read(spark).collect()} == {1, 2}
+
+
+def test_zorder_interleave_matches_reference(spark):
+    """The JVM shift/mask expression tree must equal the textbook
+    Morton interleave bit-for-bit."""
+    import random
+
+    from hydra_spark.tables import _interleave_bits
+
+    rng = random.Random(17)
+    vals = [(rng.getrandbits(16), rng.getrandbits(16)) for _ in range(64)]
+    df = spark.createDataFrame(vals, "a long, b long")
+    z = _interleave_bits(F.col("a"), 0, 2, 16).bitwiseOR(
+        _interleave_bits(F.col("b"), 1, 2, 16)
+    )
+    got = [r.z for r in df.select(z.alias("z")).collect()]
+
+    def ref(a, b):
+        out = 0
+        for j in range(16):
+            out |= ((a >> j) & 1) << (2 * j)
+            out |= ((b >> j) & 1) << (2 * j + 1)
+        return out
+
+    assert got == [ref(a, b) for a, b in vals]
+
+
+def test_zorder_compaction_prunes_both_axes(spark, tmp_path):
+    """Z-order rewrite over a 100x100 (x, y) grid: range queries on
+    EITHER axis must prune files (a single-column sort would prune only
+    its own axis — asserted as the contrast), and answers stay exact."""
+    t = TransactionalTable(str(tmp_path / "z"), ["k"], n_buckets=1)
+    # row-major grid: appended order is sorted by y, scrambled in x
+    df = spark.range(10000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        (F.col("id") / 100).cast("long").cast("double").alias("y"),
+    )
+    t.append_dedup(spark, df, "g0")
+    r = t.compact(spark, max_files_per_bucket=0, zorder_by=["x", "y"], target_file_rows=625)
+    assert r["files_after"] == 16
+    kept_x, total = t.plan_files({"x": (10.0, 19.0)})
+    kept_y, _ = t.plan_files({"y": (10.0, 19.0)})
+    assert len(kept_x) < total, "z-order must prune on x"
+    assert len(kept_y) < total, "z-order must prune on y"
+    assert t.read_where(spark, {"x": (10.0, 19.0)}).count() == 1000
+    assert t.read_where(spark, {"y": (10.0, 19.0)}).count() == 1000
+    # conjunct query on both axes prunes harder than either alone
+    kept_xy, _ = t.plan_files({"x": (10.0, 19.0), "y": (10.0, 19.0)})
+    assert len(kept_xy) <= min(len(kept_x), len(kept_y))
+    assert t.read_where(spark, {"x": (10.0, 19.0), "y": (10.0, 19.0)}).count() == 100
+
+    # contrast: the same data sort_by x prunes x perfectly, y not at all
+    t2 = TransactionalTable(str(tmp_path / "s"), ["k"], n_buckets=1)
+    t2.append_dedup(spark, df, "g0")
+    t2.compact(spark, max_files_per_bucket=0, sort_by=["x"], target_file_rows=625)
+    kx, tot2 = t2.plan_files({"x": (10.0, 19.0)})
+    ky, _ = t2.plan_files({"y": (10.0, 19.0)})
+    assert len(kx) < tot2
+    assert len(ky) == tot2, "single-axis sort cannot prune the other axis"
+
+
+def test_zorder_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n_batches=2, rows=100)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(spark, sort_by=["v"], zorder_by=["v", "ts"])
+    with pytest.raises(ValueError, match="2-4 columns"):
+        t.compact(spark, zorder_by=["v"])
+    with pytest.raises(ValueError, match="string-ordered"):
+        t.compact(spark, zorder_by=["v", "k"])
+    # timestamp + numeric works, stats-path bounds (no extra scan)
+    r = t.compact(spark, zorder_by=["v", "ts"], target_file_rows=100)
+    assert r["buckets_compacted"] == 4
+    assert t.read(spark).count() == 200

@@ -219,3 +219,17 @@ def _vad(df: DataFrame, **params) -> DataFrame:
     from hydra_spark.functions.vad import vad_clips
 
     return vad_clips(df, **params)
+
+
+@register_stage("mel")
+def _mel(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.mel import mel_clips
+
+    return mel_clips(df, **params)
+
+
+@register_stage("loudness")
+def _loudness(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.loudness import loudness_clips
+
+    return loudness_clips(df, **params)

@@ -969,6 +969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Z-order compaction: (value, user_id) Z-curve rewrite, file
         # pruning on BOTH axes asserted engine-side
         "table_zorder_scan": A.table_zorder_scan,
+        # sketch certifications: fixed-memory HLL++ / KLL estimates
+        # asserted within bound vs exact engine-side; exact output
+        # keeps the SQL oracle exact
+        "sketch_distinct_users": A.sketch_distinct_users,
+        "sketch_value_quantiles": A.sketch_value_quantiles,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -2481,6 +2486,21 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        # the rows output EXACT counts (the sketch is certified against
+        # them engine-side) — sketch-to-sketch equality across engines
+        # is not a meaningful contract, bounded error is
+        "sketch_distinct_users": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        # Spark percentile() and DuckDB quantile_cont share the same
+        # linear interpolation (pinned by clips_percentiles)
+        "sketch_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY 1
         """,
         # answers are residual-filtered (pruning only removes work), so
         # raw-events SQL is the exact oracle for both probes

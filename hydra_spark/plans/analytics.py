@@ -1087,6 +1087,68 @@ def table_skipping_scan(spark, sf_dir):
     )
 
 
+def sketch_distinct_users(spark, sf_dir):
+    """HLL++ sketch certification (approx_count_distinct, rsd=0.02):
+    the sketch estimate is asserted engine-side within 5% of the exact
+    per-group distinct count, and the row OUTPUTS the exact counts so
+    the DuckDB oracle stays exact — cross-engine sketch equality is not
+    a meaningful contract (Spark's HLL++ and DuckDB's sketch differ by
+    design), bounded error against ground truth is. Scale posture: the
+    sketch is THE 10^12-row path — fixed-size state, partial sketches
+    merge map-side, no shuffle of raw user ids; the exact count exists
+    here only as the certification baseline."""
+    ev = load(spark, sf_dir, "events")
+    checks = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        )
+        .collect()
+    )
+    for r in checks:
+        if abs(r.n_approx - r.n_exact) > max(1.0, 0.05 * r.n_exact):
+            raise RuntimeError(
+                f"HLL++ error bound regressed: {r.event_type} approx "
+                f"{r.n_approx} vs exact {r.n_exact}"
+            )
+    return spark.createDataFrame(
+        [(r.event_type, r.n_exact) for r in checks],
+        "event_type string, n_users bigint",
+    )
+
+
+def sketch_value_quantiles(spark, sf_dir):
+    """Quantile sketch certification (percentile_approx, accuracy 1e4):
+    per-event-type p50/p95 estimates asserted engine-side within 2% of
+    the exact interpolated percentiles; the output is the EXACT
+    percentiles (DuckDB quantile_cont uses the same interpolation, so
+    the oracle is exact — the clips_percentiles row pinned that
+    equivalence). Scale posture: percentile() buffers every value per
+    group; percentile_approx's KLL-style sketch is the fixed-memory
+    path at 10^12 rows, certified here against ground truth."""
+    ev = load(spark, sf_dir, "events")
+    checks = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.5, 0.95))").alias("exact"),
+            F.expr("percentile_approx(value, array(0.5, 0.95), 10000)").alias("approx"),
+        )
+        .collect()
+    )
+    for r in checks:
+        for e, a, q in zip(r.exact, r.approx, ("p50", "p95")):
+            if abs(a - e) > max(0.5, 0.02 * abs(e)):
+                raise RuntimeError(
+                    f"quantile sketch error bound regressed: {r.event_type} "
+                    f"{q} approx {a} vs exact {e}"
+                )
+    return spark.createDataFrame(
+        [(r.event_type, round(r.exact[0], 4), round(r.exact[1], 4)) for r in checks],
+        "event_type string, p50 double, p95 double",
+    )
+
+
 def table_zorder_scan(spark, sf_dir):
     """Z-order compaction (tables.compact zorder_by — the Delta OSS
     Z-ORDER analog): events rewrite onto a (value, user_id) Z-curve,

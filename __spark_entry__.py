@@ -974,6 +974,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps the SQL oracle exact
         "sketch_distinct_users": A.sketch_distinct_users,
         "sketch_value_quantiles": A.sketch_value_quantiles,
+        # the streaming Kleene matcher's COMPLETE output hash-checked:
+        # strict contiguity makes 'latest preceding non-view is a
+        # click within budget' an exact SQL formulation of the
+        # incremental kill/reopen semantics
+        "kleene_stream_scan": A.kleene_stream_scan,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -2493,6 +2498,33 @@ def oracle_sql() -> dict[str, str]:
         "sketch_distinct_users": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        # strict contiguity: a purchase matches iff the user's latest
+        # preceding non-view is a click within budget (a second
+        # purchase's latest non-view is the first purchase — the
+        # matcher's kill/reopen); n_absorbed = the all-view gap width
+        "kleene_stream_scan": """
+            WITH seq AS (
+              SELECT user_id, ts, event_id,
+                     CASE event_type WHEN 'click' THEN 'c'
+                          WHEN 'view' THEN 'v'
+                          WHEN 'purchase' THEN 'p' ELSE 'x' END AS ch,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ), marks AS (
+              SELECT *, max(CASE WHEN ch <> 'v' THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nv
+              FROM seq
+            )
+            SELECT CAST(p.user_id AS VARCHAR) AS user_id,
+                   c.ts AS seq_start, p.ts AS seq_end,
+                   CAST(p.rn - c.rn - 1 AS INT) AS n_absorbed
+            FROM marks p JOIN marks c
+              ON c.user_id = p.user_id AND c.rn = p.prev_nv
+            WHERE p.ch = 'p' AND c.ch = 'c'
+              AND p.ts - c.ts <= INTERVAL 86400 seconds
         """,
         # Spark percentile() and DuckDB quantile_cont share the same
         # linear interpolation (pinned by clips_percentiles)

@@ -654,6 +654,69 @@ def cep_pattern_scan(spark, sf_dir):
     )
 
 
+def kleene_stream_scan(spark, sf_dir):
+    """The streaming Kleene-star matcher, fully SQL-certified: the same
+    'click view* purchase' quantified pattern `cep_pattern_scan` runs
+    declaratively is matched INCREMENTALLY here by the O(1)-per-key
+    applyInPandasWithState operator (operators/cep.py
+    kleene_matches_stream) over a bounded replay of the events fixture,
+    emitting (user, seq_start, seq_end, n_absorbed) per completed
+    match. The oracle exploits strict contiguity: a purchase completes
+    a match iff the user's LATEST PRECEDING NON-VIEW event is a click
+    within the time budget (between them can only be views, and a
+    second purchase's latest non-view is the first purchase — exactly
+    the matcher's kill/reopen semantics), which is a pure window
+    expression in SQL — so the driver hash-checks the streaming
+    operator's complete output, not a projection. In-order contract:
+    the replay writes ONE file consumed in ONE availableNow batch; the
+    matcher sorts within the batch by (ts, event_id)."""
+    import os as _os
+    import shutil as _shutil
+
+    from hydra_spark.operators.cep import kleene_matches_stream
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = _os.path.join("/root/repo/.data/entry", f"kleene_{tag}")
+    _shutil.rmtree(root, ignore_errors=True)
+    src = _os.path.join(root, "src")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+        .alias("ch"),
+        # the fixture's NTZ timestamps can't carry a watermark
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    matches = kleene_matches_stream(
+        stream,
+        "user_id",
+        "ch",
+        "ts",
+        a="c",
+        b="v",
+        c="p",
+        within_seconds=86400,
+        watermark="0 seconds",
+        tiebreak_col="event_id",
+    )
+    rows = []
+    q = (
+        matches.writeStream.foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
+        .option("checkpointLocation", _os.path.join(root, "_cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.createDataFrame(
+        rows, "user_id string, seq_start timestamp, seq_end timestamp, n_absorbed int"
+    )
+
+
 def dpp_partitioned_scan(spark, sf_dir):
     """Dynamic partition pruning — the runtime half of partition
     elimination, and the feature a 100-TB star join lives on: the

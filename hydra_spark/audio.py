@@ -336,6 +336,10 @@ LUFS_BLOCK_S = 0.400  # gating block length (spec §1, Table 2)
 LUFS_HOP_S = 0.100  # 75% overlap
 LUFS_ABS_GATE = -70.0  # absolute gate (LKFS)
 _LUFS_OFFSET = -0.691  # mono channel weight 1.0
+# K-weighting is undefined below Nyquist of the shelf corner (~1682 Hz):
+# the bilinear redesign goes unstable once f0 exceeds sr/2. Rates below
+# this floor are ERROR rows (skip-and-count), not silent garbage.
+LUFS_MIN_SR = 4000
 
 
 def _k_weighting_coeffs(sr_hz: int):
@@ -415,9 +419,14 @@ def lufs_integrated(x: np.ndarray, sr_hz: int):
     this single shared definition is used by the engine stage
     (functions/loudness.py) AND the fixture writer, so engine/fixture
     values are bit-identical."""
+    if sr_hz < LUFS_MIN_SR:
+        raise ValueError(
+            f"sr_hz {sr_hz} below K-weighting floor {LUFS_MIN_SR} "
+            "(shelf corner would exceed Nyquist)"
+        )
     block = int(round(LUFS_BLOCK_S * sr_hz))
     hop = int(round(LUFS_HOP_S * sr_hz))
-    if len(x) < block or block <= 0:
+    if len(x) < block:
         return None, 0, 0
     y = k_weight(x, sr_hz)
     n_blocks = 1 + (len(y) - block) // hop

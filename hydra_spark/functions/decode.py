@@ -146,6 +146,48 @@ def _ragged_gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
     return data[idx]
 
 
+def _head_windows(
+    data: np.ndarray,
+    off: np.ndarray,
+    lens: np.ndarray,
+    rows: np.ndarray,
+    codec: str,
+    n_fft: int,
+    chunk: int,
+):
+    """Yield ``(row_indices, Z)`` chunks where Z is an (m, n_fft)
+    float32 matrix holding each clip's decoded HEAD samples (at most
+    n_fft, zero-padded) — THE gather/decode/scatter contract shared by
+    every fixed-window analysis stage (spectral, mel). One definition
+    so the pcm16 even-trim, the /32767 scale and the ragged scatter can
+    never diverge between stages (their engine/oracle bit-parity
+    depends on this exact op sequence)."""
+    bps = 2 if codec == "pcm16" else 1
+    head = np.minimum(lens[rows], n_fft * bps)
+    if codec == "pcm16":
+        head -= head % 2
+    start = 0
+    while start < len(rows):
+        end = min(start + chunk, len(rows))
+        r_c = rows[start:end]
+        h_c = head[start:end]
+        gathered = _ragged_gather(data, off[:-1][r_c], h_c)
+        if codec == "pcm16":
+            x = gathered.view("<i2").astype(np.float32)
+            x /= np.float32(32767.0)
+            sl = h_c // 2
+        else:
+            x = _LUT[codec][gathered]
+            sl = h_c
+        m = len(r_c)
+        Z = np.zeros((m, n_fft), dtype=np.float32)
+        # flat ragged scatter: row i's samples land at
+        # [i*n_fft, i*n_fft + sl_i)
+        Z.ravel()[_ragged_index(np.arange(m, dtype=np.int64) * n_fft, sl)] = x
+        yield r_c, Z
+        start = end
+
+
 def _group_features(x: np.ndarray, bounds: np.ndarray):
     """(rms_db, peak) per segment of float32 samples. ``bounds`` are the
     segment start positions (every segment non-empty).

@@ -61,6 +61,9 @@ def loudness_clips(df: DataFrame) -> DataFrame:
                     if sr_i <= 0:
                         raise ValueError("non-positive sr_hz")
                     x = audio.decode(None if buf is None else bytes(buf), str(codec))
+                    # inside the try: sub-LUFS_MIN_SR rates raise and
+                    # must become error rows, not task failures
+                    l, nb, ng = audio.lufs_integrated(x, sr_i)
                 except Exception as e:
                     n_samples.append(None)
                     lufs.append(None)
@@ -68,7 +71,6 @@ def loudness_clips(df: DataFrame) -> DataFrame:
                     n_gated.append(None)
                     errs.append(f"{type(e).__name__}: {e}")
                     continue
-                l, nb, ng = audio.lufs_integrated(x, sr_i)
                 n_samples.append(len(x))
                 lufs.append(l)
                 n_blocks.append(nb)

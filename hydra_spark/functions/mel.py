@@ -31,11 +31,9 @@ from pyspark.sql import DataFrame, types as T
 
 from hydra_spark import audio
 from hydra_spark.functions.decode import (
-    _LUT,
     _binary_views,
     _classify_errors,
-    _ragged_gather,
-    _ragged_index,
+    _head_windows,
 )
 
 OUT_FIELDS = [
@@ -116,28 +114,7 @@ def mel_clips(
                 if not mask.any():
                     continue
                 rows = np.nonzero(mask)[0]
-                bps = 2 if c == "pcm16" else 1
-                head = np.minimum(lens[rows], n_fft * bps)
-                if c == "pcm16":
-                    head -= head % 2
-                start = 0
-                while start < len(rows):
-                    end = min(start + _FFT_ROWS, len(rows))
-                    r_c = rows[start:end]
-                    h_c = head[start:end]
-                    gathered = _ragged_gather(data, off[:-1][r_c], h_c)
-                    if c == "pcm16":
-                        x = gathered.view("<i2").astype(np.float32)
-                        x /= np.float32(32767.0)
-                        sl = h_c // 2
-                    else:
-                        x = _LUT[c][gathered]
-                        sl = h_c
-                    m = len(r_c)
-                    Z = np.zeros((m, n_fft), dtype=np.float32)
-                    Z.ravel()[
-                        _ragged_index(np.arange(m, dtype=np.int64) * n_fft, sl)
-                    ] = x
+                for r_c, Z in _head_windows(data, off, lens, rows, c, n_fft, _FFT_ROWS):
                     # identical op sequence to audio.mel_energies:
                     # f32 rfft -> f32 abs -> f64 -> square -> GEMM
                     mag = np.abs(np.fft.rfft(Z, axis=1)).astype(np.float64)
@@ -148,7 +125,6 @@ def mel_clips(
                         db = 10.0 * np.log10(power[sel] @ fb.T + audio.MEL_DB_EPS)
                         for j, ri in enumerate(r_c[sel]):
                             mel[ri] = db[j]
-                    start = end
 
             arrays = [rb.column(names.index(k)) for k in keep_names] + [
                 pa.array(ns.astype(np.int32), type=pa.int32(), mask=err_mask),

@@ -27,11 +27,9 @@ from pyspark.sql import DataFrame, types as T
 
 from hydra_spark import audio
 from hydra_spark.functions.decode import (
-    _LUT,
     _binary_views,
     _classify_errors,
-    _ragged_gather,
-    _ragged_index,
+    _head_windows,
 )
 
 OUT_FIELDS = [
@@ -101,31 +99,9 @@ def spectral_clips(df: DataFrame, n_fft: int = audio.N_FFT) -> DataFrame:
                 if not mask.any():
                     continue
                 rows = np.nonzero(mask)[0]
-                bps = 2 if c == "pcm16" else 1  # bytes per sample
                 # HEAD-ONLY gather: at most n_fft samples per clip
-                head = np.minimum(lens[rows], n_fft * bps)
-                if c == "pcm16":
-                    head -= head % 2
-                start = 0
-                while start < len(rows):
-                    end = min(start + _FFT_ROWS, len(rows))
-                    r_c = rows[start:end]
-                    h_c = head[start:end]
-                    gathered = _ragged_gather(data, off[:-1][r_c], h_c)
-                    if c == "pcm16":
-                        x = gathered.view("<i2").astype(np.float32)
-                        x /= np.float32(32767.0)
-                        sl = h_c // 2
-                    else:
-                        x = _LUT[c][gathered]
-                        sl = h_c
+                for r_c, Z in _head_windows(data, off, lens, rows, c, n_fft, _FFT_ROWS):
                     m = len(r_c)
-                    Z = np.zeros((m, n_fft), dtype=np.float32)
-                    # flat ragged scatter: row i's samples land at
-                    # [i*n_fft, i*n_fft + sl_i)
-                    Z.ravel()[
-                        _ragged_index(np.arange(m, dtype=np.int64) * n_fft, sl)
-                    ] = x
                     mag = np.abs(np.fft.rfft(Z, axis=1))
                     tot = mag.sum(axis=1)
                     wsum = (mag * kw).sum(axis=1)
@@ -137,7 +113,6 @@ def spectral_clips(df: DataFrame, n_fft: int = audio.N_FFT) -> DataFrame:
                     dom[nz] = np.argmax(mag, axis=1)[nz].astype(np.float64) * scale[nz]
                     centroid[r_c] = cen
                     dominant[r_c] = dom
-                    start = end
 
             arrays = [rb.column(names.index(k)) for k in keep_names] + [
                 pa.array(ns.astype(np.int32), type=pa.int32(), mask=err_mask),

@@ -339,10 +339,12 @@ def write_clip_lufs(
                     if int(sr) <= 0:
                         raise ValueError("non-positive sr_hz")
                     x = audio.decode(None if buf is None else bytes(buf), str(codec))
+                    # inside the try: low rates raise (LUFS_MIN_SR floor)
+                    # and must mark error rows like the engine stage does
+                    l, nb, ng = audio.lufs_integrated(x, int(sr))
                 except Exception:
                     rows.append((cid, None, None, None))
                     continue
-                l, nb, ng = audio.lufs_integrated(x, int(sr))
                 rows.append((cid, l, nb, ng))
             yield pd.DataFrame(rows, columns=["clip_id", "lufs", "n_blocks", "n_gated"])
 

@@ -687,11 +687,16 @@ class TransactionalTable:
             bounds = {
                 c: (row[f"lo_{c}"], row[f"hi_{c}"], bounds[c]) for c in cols
             }
+        # keep the interleaved key inside the long's 63 value bits: at
+        # 4 columns a full 16-bit rank would land its top bit at
+        # position 63 (the SIGN bit), flipping half the keys negative
+        # and silently destroying the curve's locality
+        bits = min(ZORDER_BITS, 63 // len(cols))
         key = None
         for i, c in enumerate(cols):
             lo, hi, is_ts = bounds[c]
-            rank = _zorder_rank(norm(c, is_ts), lo, hi, ZORDER_BITS)
-            part = _interleave_bits(rank, i, len(cols), ZORDER_BITS)
+            rank = _zorder_rank(norm(c, is_ts), lo, hi, bits)
+            part = _interleave_bits(rank, i, len(cols), bits)
             key = part if key is None else key.bitwiseOR(part)
         return key
 

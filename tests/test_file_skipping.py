@@ -404,3 +404,26 @@ def test_zorder_guards(spark, tmp_path):
     r = t.compact(spark, zorder_by=["v", "ts"], target_file_rows=100)
     assert r["buckets_compacted"] == 4
     assert t.read(spark).count() == 200
+
+
+def test_zorder_four_columns_no_sign_overflow(spark, tmp_path):
+    """4-column Z-order must cap per-column bits so no rank bit lands in
+    the long's sign bit (a negative key sorts first and destroys the
+    curve): all four axes must still prune after the rewrite."""
+    t = TransactionalTable(str(tmp_path / "z4"), ["k"], n_buckets=1)
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).cast("double").alias("a"),
+        (F.col("id") / 8 % 8).cast("long").cast("double").alias("b"),
+        (F.col("id") / 64 % 8).cast("long").cast("double").alias("c"),
+        (F.col("id") / 512 % 8).cast("long").cast("double").alias("d"),
+    )
+    t.append_dedup(spark, df, "g0")
+    t.compact(
+        spark, max_files_per_bucket=0, zorder_by=["a", "b", "c", "d"],
+        target_file_rows=256,
+    )
+    for col in ("a", "b", "c", "d"):
+        kept, total = t.plan_files({col: (6.0, 7.0)})
+        assert kept and len(kept) < total, f"axis {col} must prune"
+        assert t.read_where(spark, {col: (6.0, 7.0)}).count() == 1024

@@ -3,6 +3,7 @@ reference sine level, gating behavior, and the Spark stage end-to-end
 (functions/loudness.py) including error rows."""
 
 import numpy as np
+import pytest
 from pyspark.sql import types as T
 
 from hydra_spark import audio
@@ -110,6 +111,10 @@ def test_loudness_stage(spark):
                 i += 1
     rows.append(("e-null", None, 16000, "pcm16"))
     rows.append(("e-sr", bytearray(b"\x00\x00"), 0, "pcm16"))
+    # below the K-weighting floor: must be an ERROR row (the bilinear
+    # shelf redesign is unstable once its corner exceeds Nyquist), not
+    # a crash and not silent garbage
+    rows.append(("e-lowsr", bytearray(b"\x00\x00" * 4000), 2000, "pcm16"))
     df = spark.createDataFrame(rows, schema=SCHEMA).repartition(3)
     got = {r["clip_id"]: r for r in loudness_clips(df).collect()}
     assert len(got) == len(rows)
@@ -124,3 +129,8 @@ def test_loudness_stage(spark):
     assert got["e-null"]["decode_error"] is not None
     assert got["e-sr"]["decode_error"] is not None
     assert got["e-sr"]["lufs"] is None and got["e-sr"]["n_blocks"] is None
+    assert "K-weighting floor" in got["e-lowsr"]["decode_error"]
+    assert got["e-lowsr"]["lufs"] is None
+    # direct call below the floor raises (no NaN/garbage path)
+    with pytest.raises(ValueError, match="K-weighting floor"):
+        audio.lufs_integrated(np.zeros(10, dtype=np.float32), 5)

@@ -974,6 +974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps the SQL oracle exact
         "sketch_distinct_users": A.sketch_distinct_users,
         "sketch_value_quantiles": A.sketch_value_quantiles,
+        # runtime bloom-filter join (row-granular DPP sibling):
+        # injection asserted under forced-shuffle planning
+        "bloom_filtered_join": A.bloom_filtered_join,
         # the streaming Kleene matcher's COMPLETE output hash-checked:
         # strict contiguity makes 'latest preceding non-view is a
         # click within budget' an exact SQL formulation of the
@@ -2498,6 +2501,16 @@ def oracle_sql() -> dict[str, str]:
         "sketch_distinct_users": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
+        """,
+        # the bloom probe only removes non-joining rows, so plain join
+        # SQL is the exact oracle
+        "bloom_filtered_join": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+            GROUP BY 1
         """,
         # strict contiguity: a purchase matches iff the user's latest
         # preceding non-view is a click within budget (a second

@@ -654,6 +654,71 @@ def cep_pattern_scan(spark, sf_dir):
     )
 
 
+def bloom_filtered_join(spark, sf_dir):
+    """Runtime bloom-filter join — the row-granular sibling of
+    dpp_partitioned_scan's partition pruning: when a selective dim
+    filter (one quarter of orders) feeds a SHUFFLE join, Catalyst
+    builds a bloom filter over the dim's join keys and injects a
+    might-contain probe on the fact side BELOW its exchange, so
+    non-joining lineitem rows are discarded before they shuffle — at
+    10^12 rows that turns a full-fact exchange into a ~3%-survivor
+    exchange no static filter could express. The injection is asserted
+    engine-side under forced-shuffle planning (broadcast disabled +
+    fixture-scale thresholds, restored in a finally); the RETURNED
+    answer is built under the session's normal planning — same result
+    by construction, which is exactly what the oracle certifies."""
+    def build():
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("revenue"),
+            )
+        )
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        import contextlib as _ctx
+        import io as _io
+
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            build().explain("formatted")
+        if "bloom_filter_agg" not in buf.getvalue():
+            raise RuntimeError(
+                "runtime bloom-filter injection regressed: no "
+                "bloom_filter_agg in the forced-shuffle plan"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    return build()
+
+
 def kleene_stream_scan(spark, sf_dir):
     """The streaming Kleene-star matcher, fully SQL-certified: the same
     'click view* purchase' quantified pattern `cep_pattern_scan` runs

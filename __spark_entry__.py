@@ -982,6 +982,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # click within budget' an exact SQL formulation of the
         # incremental kill/reopen semantics
         "kleene_stream_scan": A.kleene_stream_scan,
+        # same matcher behind the event-time RE-SEQUENCER with the
+        # in-order contract broken upstream (jittered time-sliced
+        # multi-batch replay); order/completeness asserted engine-side,
+        # oracle shared verbatim with kleene_stream_scan
+        "kleene_unordered_scan": A.kleene_unordered_scan,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
         # per-frame reports + frame limit) as a window/projection op
@@ -1083,6 +1088,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": A.tpch_q3,
         "nation_revenue": A.nation_revenue,
     }
+
+
+# one definition, two rows: kleene_stream_scan (ordered single-batch
+# replay) and kleene_unordered_scan (jittered multi-batch replay behind
+# the event-time re-sequencer) must produce identical matches
+_KLEENE_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'click' THEN 'c'
+                  WHEN 'view' THEN 'v'
+                  WHEN 'purchase' THEN 'p' ELSE 'x' END AS ch,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), marks AS (
+      SELECT *, max(CASE WHEN ch <> 'v' THEN rn END) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nv
+      FROM seq
+    )
+    SELECT CAST(p.user_id AS VARCHAR) AS user_id,
+           c.ts AS seq_start, p.ts AS seq_end,
+           CAST(p.rn - c.rn - 1 AS INT) AS n_absorbed
+    FROM marks p JOIN marks c
+      ON c.user_id = p.user_id AND c.rn = p.prev_nv
+    WHERE p.ch = 'p' AND c.ch = 'c'
+      AND p.ts - c.ts <= INTERVAL 86400 seconds
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2516,29 +2549,10 @@ def oracle_sql() -> dict[str, str]:
         # preceding non-view is a click within budget (a second
         # purchase's latest non-view is the first purchase — the
         # matcher's kill/reopen); n_absorbed = the all-view gap width
-        "kleene_stream_scan": """
-            WITH seq AS (
-              SELECT user_id, ts, event_id,
-                     CASE event_type WHEN 'click' THEN 'c'
-                          WHEN 'view' THEN 'v'
-                          WHEN 'purchase' THEN 'p' ELSE 'x' END AS ch,
-                     row_number() OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS rn
-              FROM events
-            ), marks AS (
-              SELECT *, max(CASE WHEN ch <> 'v' THEN rn END) OVER (
-                   PARTITION BY user_id ORDER BY rn
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nv
-              FROM seq
-            )
-            SELECT CAST(p.user_id AS VARCHAR) AS user_id,
-                   c.ts AS seq_start, p.ts AS seq_end,
-                   CAST(p.rn - c.rn - 1 AS INT) AS n_absorbed
-            FROM marks p JOIN marks c
-              ON c.user_id = p.user_id AND c.rn = p.prev_nv
-            WHERE p.ch = 'p' AND c.ch = 'c'
-              AND p.ts - c.ts <= INTERVAL 86400 seconds
-        """,
+        "kleene_stream_scan": _KLEENE_ORACLE,
+        # shared VERBATIM: the re-sequencer restores exactly the order
+        # contract the matcher assumes, so the matches are identical
+        "kleene_unordered_scan": _KLEENE_ORACLE,
         # Spark percentile() and DuckDB quantile_cont share the same
         # linear interpolation (pinned by clips_percentiles)
         "sketch_value_quantiles": """

@@ -738,13 +738,19 @@ def kleene_stream_scan(spark, sf_dir):
     import os as _os
     import shutil as _shutil
 
-    from hydra_spark.operators.cep import kleene_matches_stream
-
     tag = _os.path.basename(sf_dir.rstrip("/"))
     root = _os.path.join("/root/repo/.data/entry", f"kleene_{tag}")
     _shutil.rmtree(root, ignore_errors=True)
     src = _os.path.join(root, "src")
-    ev = load(spark, sf_dir, "events").select(
+    ev = _kleene_events(spark, sf_dir)
+    ev.coalesce(1).write.parquet(src)
+    return _run_kleene_stream(spark, ev.schema, src, _os.path.join(root, "_cp"))
+
+
+def _kleene_events(spark, sf_dir) -> DataFrame:
+    """events projected to the Kleene rows' shared shape: string key,
+    one pattern char per event, watermark-capable timestamp."""
+    return load(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("user_id"),
         F.when(F.col("event_type") == "click", "c")
         .when(F.col("event_type") == "view", "v")
@@ -755,8 +761,15 @@ def kleene_stream_scan(spark, sf_dir):
         F.col("ts").cast("timestamp").alias("ts"),
         "event_id",
     )
-    ev.coalesce(1).write.parquet(src)
-    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+
+def _run_kleene_stream(spark, schema, src: str, cp: str) -> DataFrame:
+    """Run the streaming Kleene matcher ('c v* p' within a day) over a
+    parquet replay dir and return its collected matches as a batch
+    DataFrame (the shape both kleene rows' shared oracle checks)."""
+    from hydra_spark.operators.cep import kleene_matches_stream
+
+    stream = spark.readStream.schema(schema).parquet(src)
     matches = kleene_matches_stream(
         stream,
         "user_id",
@@ -772,7 +785,7 @@ def kleene_stream_scan(spark, sf_dir):
     rows = []
     q = (
         matches.writeStream.foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
-        .option("checkpointLocation", _os.path.join(root, "_cp"))
+        .option("checkpointLocation", cp)
         .start()
     )
     q.processAllAvailable()
@@ -780,6 +793,102 @@ def kleene_stream_scan(spark, sf_dir):
     return spark.createDataFrame(
         rows, "user_id string, seq_start timestamp, seq_end timestamp, n_absorbed int"
     )
+
+
+def kleene_unordered_scan(spark, sf_dir):
+    """The Kleene pipeline with its in-order contract BROKEN upstream
+    and restored by the event-time re-sequencer (operators/reorder.py):
+    the events fixture is replayed as jittered time-sliced files, one
+    file per micro-batch, so event time regresses across batches
+    (asserted engine-side — a fixture that happened to arrive ordered
+    would certify nothing); ``reorder_events`` (2-day bound, > the
+    1-day slicing jitter) buffers and re-emits per-key in event-time
+    order — order and completeness both asserted engine-side — and the
+    matcher then runs on the re-sequenced replay. The oracle is shared
+    verbatim with ``kleene_stream_scan``: same matches, because the
+    re-sequencer restored exactly the contract the matcher assumes."""
+    import os as _os
+    import shutil as _shutil
+
+    import pandas as _pd
+
+    from hydra_spark.operators.reorder import reorder_events
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = _os.path.join("/root/repo/.data/entry", f"kleene_unord_{tag}")
+    _shutil.rmtree(root, ignore_errors=True)
+    src = _os.path.join(root, "src")
+    _os.makedirs(src)
+    ev = _kleene_events(spark, sf_dir)
+    slice_s, jitter_s, delay_s = 7 * 86400, 86400, 2 * 86400
+    # deterministic per-event jitter (no rand(): replay-stable)
+    sliced = ev.withColumn(
+        "_file",
+        F.floor(
+            (F.unix_timestamp("ts") + F.pmod(F.xxhash64("event_id"), F.lit(jitter_s)))
+            / F.lit(slice_s)
+        ),
+    )
+    pdf = sliced.toPandas().sort_values("_file", kind="mergesort")
+    n_in = len(pdf)
+    prev_max, disorder = None, False
+    for i, (_f, part) in enumerate(pdf.groupby("_file", sort=True)):
+        part = part.drop(columns="_file").copy()
+        if prev_max is not None and part["ts"].min() < prev_max:
+            disorder = True
+        prev_max = part["ts"].max() if prev_max is None else max(prev_max, part["ts"].max())
+        part["ts"] = part["ts"].astype("datetime64[us]")
+        path = _os.path.join(src, f"file_{i:03d}.parquet")
+        part.to_parquet(path, index=False)
+        _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    if not disorder:
+        raise RuntimeError(
+            "jittered slicing produced an in-order replay — the row would "
+            "certify nothing; widen the jitter"
+        )
+    # two far-future sentinel files: round 1 advances the watermark past
+    # every real event, round 2 runs the batch whose timeouts drain state
+    last_i = i
+    for r in (1, 2):
+        s = _pd.DataFrame(
+            {
+                "user_id": ["zz-sentinel"],
+                "ch": ["x"],
+                "ts": [(prev_max + _pd.Timedelta(days=29 + r)).floor("us")],
+                "event_id": [-r],
+            }
+        )
+        s["ts"] = s["ts"].astype("datetime64[us]")
+        path = _os.path.join(src, f"file_{last_i + r:03d}.parquet")
+        s.to_parquet(path, index=False)
+        _os.utime(path, (1_700_000_000 + last_i + r,) * 2)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ordered = reorder_events(stream, "user_id", "ts", watermark=f"{delay_s} seconds")
+    got: list = []
+    q = (
+        ordered.writeStream.foreachBatch(lambda bdf, bid: got.extend(bdf.collect()))
+        .option("checkpointLocation", _os.path.join(root, "_cp1"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    real = [r for r in got if r.user_id != "zz-sentinel"]
+    if len(real) != n_in:
+        raise RuntimeError(
+            f"re-sequencer emitted {len(real)} of {n_in} rows — "
+            "bounded-lateness reordering must be lossless here"
+        )
+    last_ts: dict = {}
+    for r in real:  # collection order == per-key emission order
+        if r.user_id in last_ts and r.ts < last_ts[r.user_id]:
+            raise RuntimeError(f"re-sequencer order violated for {r.user_id}")
+        last_ts[r.user_id] = r.ts
+    ordered_src = _os.path.join(root, "ordered")
+    spark.createDataFrame(real, ev.schema).coalesce(1).write.parquet(ordered_src)
+    return _run_kleene_stream(spark, ev.schema, ordered_src, _os.path.join(root, "_cp2"))
 
 
 def dpp_partitioned_scan(spark, sf_dir):

@@ -974,6 +974,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps the SQL oracle exact
         "sketch_distinct_users": A.sketch_distinct_users,
         "sketch_value_quantiles": A.sketch_value_quantiles,
+        # Karp frequent-items: superset guarantee asserted vs exact
+        "sketch_heavy_hitters": A.sketch_heavy_hitters,
+        # Spark 4 VARIANT: parse once, typed path extraction, NULL on
+        # missing paths via try_variant_get
+        "variant_json_scan": A.variant_json_scan,
         # runtime bloom-filter join (row-granular DPP sibling):
         # injection asserted under forced-shuffle planning
         "bloom_filtered_join": A.bloom_filtered_join,
@@ -2553,6 +2558,23 @@ def oracle_sql() -> dict[str, str]:
         # shared VERBATIM: the re-sequencer restores exactly the order
         # contract the matcher assumes, so the matches are identical
         "kleene_unordered_scan": _KLEENE_ORACLE,
+        # the row outputs the EXACT above-threshold set (the sketch's
+        # superset guarantee is asserted engine-side)
+        "sketch_heavy_hitters": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+            HAVING count(*) > (SELECT count(*) / 150.0 FROM events)
+        """,
+        # same paths via DuckDB JSON functions; '$.missing' never
+        # exists so the non-null count is 0 on both sides
+        "variant_json_scan": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sum_k,
+                   round(avg(CAST(props ->> '$.k' AS INT)), 4) AS avg_k,
+                   CAST(count(CAST(props ->> '$.missing' AS INT)) AS BIGINT)
+                       AS n_absent_nonnull
+            FROM events GROUP BY 1
+        """,
         # Spark percentile() and DuckDB quantile_cont share the same
         # linear interpolation (pinned by clips_percentiles)
         "sketch_value_quantiles": """

@@ -1386,6 +1386,64 @@ def sketch_value_quantiles(spark, sf_dir):
     )
 
 
+def sketch_heavy_hitters(spark, sf_dir):
+    """Frequent-items sketch certification (df.stat.freqItems — the
+    Karp/Shenker/Papadimitriou one-pass algorithm): the sketch's
+    guarantee is a SUPERSET — every item with frequency above the
+    support threshold appears in the candidate set (false positives
+    allowed, false negatives never). That containment is asserted
+    engine-side against the exact heavy hitters; the row OUTPUTS the
+    exact set+counts so the oracle stays exact SQL. Scale posture: the
+    sketch holds <= 1/support counters per partition and merges —
+    frequency profiling of a 10^12-row key column without a groupBy
+    shuffle of every distinct key."""
+    support = 1.0 / 150  # 'above average user' — non-empty at every SF
+    ev = load(spark, sf_dir, "events")
+    total = ev.count()
+    candidates = set(
+        ev.select("user_id").stat.freqItems(["user_id"], support=support).collect()[0][0]
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .where(F.col("n_events") > support * total)
+    )
+    missing = [r.user_id for r in exact.collect() if r.user_id not in candidates]
+    if missing:
+        raise RuntimeError(
+            f"freqItems superset guarantee violated: true heavy hitters "
+            f"{missing[:5]} absent from the candidate set"
+        )
+    return exact
+
+
+def variant_json_scan(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4 parse_json/variant_get —
+    the open-format answer to schema-on-read JSON columns): the events
+    props JSON parses ONCE into the binary variant encoding, typed
+    paths extract without re-parsing, and a missing path is NULL via
+    try_variant_get instead of an error. At 10^12 rows variant's
+    shredded binary beats per-query string re-parsing (every
+    get_json_object call re-tokenizes the string); extraction stays
+    whole-stage-codegen. The oracle extracts the same paths with
+    DuckDB's JSON functions."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'int')").alias("absent"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.count("absent").alias("n_absent_nonnull"),
+    )
+
+
 def table_zorder_scan(spark, sf_dir):
     """Z-order compaction (tables.compact zorder_by — the Delta OSS
     Z-ORDER analog): events rewrite onto a (value, user_id) Z-curve,

@@ -945,6 +945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 d, D.minhash_lsh_pairs(d, threshold=0.5, bands=64)
             ).select("doc_id", "source", "n_chars")
         ),
+        # exact-substring dedup at 10-word-chunk granularity (Lee et
+        # al. 2022 passage removal): global first-occurrence election
+        # on digests only, doc reassembly hash-checked end-to-end
+        "chunk_dedup": docs(lambda d: D.chunk_dedup(d, width=10)),
         # mel filterbank energies: batched-rfft + per-rate GEMM engine
         # path vs the independently written per-row fixture sidecar
         "clips_mel_bands": clips_mel_bands,
@@ -1768,6 +1772,26 @@ def oracle_sql() -> dict[str, str]:
                        WHERE round(i::DOUBLE/(ca.n+cb.n-i),4) >= 0.5)
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT d2 FROM losers)
+        """,
+        # exact-substring chunk dedup: same (doc_id, pos) election and
+        # ordered reassembly in SQL; list slicing is 1-based inclusive
+        # in DuckDB == F.slice(words, start, 10) clamped at the tail
+        "chunk_dedup": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            idx AS (SELECT doc_id, ws,
+                           unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS p
+                    FROM base),
+            chunks AS (SELECT doc_id, CAST(p AS INT) AS pos,
+                              array_to_string(ws[CAST(p*10+1 AS BIGINT):CAST(p*10+10 AS BIGINT)], ' ') AS chunk
+                       FROM idx),
+            elected AS (SELECT doc_id, pos, chunk,
+                               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+                        FROM chunks)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS clean_md5
+            FROM elected GROUP BY doc_id
         """,
         # composition of the four certified filter oracles; gate order
         # lang -> repetition -> contamination -> quality, floor 0.45

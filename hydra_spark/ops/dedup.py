@@ -103,6 +103,80 @@ def dedup_apply(
     return df.join(losers, id_col, "left_anti")
 
 
+def chunk_dedup(
+    df: DataFrame,
+    width: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication at fixed word-chunk granularity —
+    the within-document removal form of dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), which
+    drops repeated PASSAGES while keeping the rest of the document,
+    where ``dedup_exact``/``dedup_apply`` only drop whole documents.
+    Suffix-array exact-substring matching doesn't distribute; the
+    standard scalable approximation is fixed-granularity chunks
+    (RefinedWeb deduplicates at paragraph granularity — this corpus has
+    no newlines, so the chunk is ``width`` consecutive words, last
+    chunk ragged).
+
+    Semantics: split each document into consecutive ``width``-word
+    chunks; elect the corpus-GLOBAL first occurrence of each distinct
+    chunk text (ordered by (doc_id, pos) — deterministic); every later
+    occurrence (across documents or repeated within one) is removed;
+    reassemble each document from its surviving chunks in order.
+
+    Output per input doc: (doc_id, n_chunks, n_removed, clean_md5)
+    where clean_md5 hashes the reassembled text ('' when every chunk
+    was removed — the row survives so the caller can count hollowed
+    docs).
+
+    Scale shape: the election shuffles ONLY (digest, doc_id, pos) —
+    chunk text never rides the global shuffle (same digest-key rule as
+    ``dedup_exact``); loser coordinates ((dup fraction) × positions)
+    join back on (doc_id, pos); reassembly shuffles surviving text
+    once on doc_id, which is unavoidable — it is the output. No
+    all-pairs term anywhere.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.ceil(F.size(words) / F.lit(width)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        # slice-per-chunk is O(width) each → O(len) per doc total (not
+        # the random-element_at shape word_ngrams avoids)
+        lambda i: F.concat_ws(" ", F.slice(words, i * width + 1, width)),
+    )
+    base = _spread(df, id_col).select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    hashed = base.withColumn("_digest", F.md5("chunk"))
+    # digest-only election: this branch projects (digest, id, pos) so
+    # the row_number shuffle never carries chunk text
+    losers = (
+        hashed.select("_digest", id_col, "pos")
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("_digest").orderBy(id_col, "pos")),
+        )
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "pos", F.lit(True).alias("_dup"))
+    )
+    marked = hashed.join(losers, [id_col, "pos"], "left")
+    kept = F.when(F.col("_dup").isNull(), F.struct("pos", "chunk"))
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.count("_dup").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["chunk"]
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+
+
 def benchmark_contamination(
     docs: DataFrame,
     bench: DataFrame,

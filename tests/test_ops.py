@@ -620,3 +620,46 @@ def test_dedup_apply_domination_drop(spark):
     )
     kept = sorted(r.doc_id for r in dedup_apply(docs, pairs).collect())
     assert kept == [1, 4, 5]
+
+
+def test_chunk_dedup_vs_bruteforce(spark):
+    """Exact-substring chunk dedup vs an independent per-corpus python
+    implementation: cross-doc dup chunks, within-doc repetition, a
+    fully-removed doc, and a ragged tail chunk."""
+    import hashlib
+
+    from hydra_spark.ops.dedup import chunk_dedup
+
+    W = 3
+    A = "a b c d e f g h"          # 3 chunks: 'a b c','d e f','g h' (ragged)
+    B = "a b c x y z"              # first chunk dups A's chunk 0
+    C = "q r s q r s q r s"        # within-doc repetition: chunks 1,2 removed
+    D = "a b c d e f"              # fully removed (both chunks seen in A)
+    rows = [(1, A), (2, B), (3, C), (4, D)]
+    got = {
+        r.doc_id: (r.n_chunks, r.n_removed, r.clean_md5)
+        for r in chunk_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), width=W
+        ).collect()
+    }
+
+    # brute force over (doc_id, pos) order
+    seen, expect = set(), {}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        chunks = [" ".join(ws[i : i + W]) for i in range(0, len(ws), W)]
+        kept = []
+        removed = 0
+        for c in chunks:
+            if c in seen:
+                removed += 1
+            else:
+                seen.add(c)
+                kept.append(c)
+        expect[doc_id] = (
+            len(chunks),
+            removed,
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    assert got == expect
+    assert expect[4][1] == 2 and expect[4][2] == hashlib.md5(b"").hexdigest()

@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hydra_spark.plans import analytics as A
-from hydra_spark.ops import dedup as D, similarity as S, textstats as X
+from hydra_spark.ops import dedup as D, packing as PK, similarity as S, textstats as X
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -949,6 +949,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # al. 2022 passage removal): global first-occurrence election
         # on digests only, doc reassembly hash-checked end-to-end
         "chunk_dedup": docs(lambda d: D.chunk_dedup(d, width=10)),
+        # LM sequence packing: concatenate-then-chunk pack assignment
+        # via a distributed two-phase prefix sum (no single-task global
+        # sort); oracle is the naive SQL window cumsum — equality IS
+        # the proof the two-phase decomposition is exact
+        "pack_sequences": docs(lambda d: PK.pack_sequences(d, budget=512)),
         # mel filterbank energies: batched-rfft + per-rate GEMM engine
         # path vs the independently written per-row fixture sidecar
         "clips_mel_bands": clips_mel_bands,
@@ -1792,6 +1797,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
                    md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS clean_md5
             FROM elected GROUP BY doc_id
+        """,
+        # sequence packing: the oracle is the naive global window
+        # cumsum the engine deliberately does NOT run — value equality
+        # certifies the distributed two-phase prefix sum
+        "pack_sequences": """
+            WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS stream_start,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+            FROM c
         """,
         # composition of the four certified filter oracles; gate order
         # lang -> repetition -> contamination -> quality, floor 0.45

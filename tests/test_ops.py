@@ -663,3 +663,26 @@ def test_chunk_dedup_vs_bruteforce(spark):
         )
     assert got == expect
     assert expect[4][1] == 2 and expect[4][2] == hashlib.md5(b"").hexdigest()
+
+
+def test_pack_sequences_two_phase_equals_naive(spark):
+    """The distributed two-phase prefix sum must equal the naive
+    serial cumsum for any bucket count, including buckets the id range
+    doesn't divide evenly and docs longer than the budget."""
+    from hydra_spark.ops.packing import pack_sequences
+
+    rows = [(i * 3 + 1, "w " * (5 + (i * 7) % 40) + "end") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = {d: len(t.split(" ")) for d, t in rows}
+    cum, expect = 0, {}
+    for d in sorted(toks):
+        expect[d] = (toks[d], cum, cum // 16)
+        cum += toks[d]
+
+    for nb in (1, 7, 64):
+        got = {
+            r.doc_id: (r.n_tokens, r.stream_start, r.pack_id)
+            for r in pack_sequences(df, budget=16, n_buckets=nb).collect()
+        }
+        assert got == expect, f"n_buckets={nb}"

@@ -344,6 +344,34 @@ def clips_mel_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_mel_cmvn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mean-variance normalization of the mel features
+    (functions/cmvn.py): per-(sr_hz, band) stats in ONE hash aggregate
+    (stats table is metadata-scale), broadcast back, normalize
+    JVM-side. Grouped per sample rate because band center frequencies
+    differ across rates. The oracle recomputes the same stats +
+    normalization in SQL over the independently written mel fixture
+    joined to the clips table for sr_hz; 4 dp rounding absorbs the
+    engine-vs-fixture mel difference (~1e-12 dB, pinned in
+    tests/test_mel.py) through the normalization arithmetic."""
+    from hydra_spark import synth
+    from hydra_spark.functions.cmvn import cmvn_normalize
+    from hydra_spark.functions.mel import mel_clips
+
+    clips = _clips(spark)
+    _ensure_sidecar(spark, "_mel_v1", synth.write_clip_mel)
+    feats = mel_clips(clips).where(
+        F.col("decode_error").isNull() & F.col("mel_db").isNotNull()
+    )
+    out = cmvn_normalize(feats, "mel_db", id_col="clip_id", group_cols=("sr_hz",))
+    return out.select(
+        "clip_id",
+        F.col("sr_hz").cast("int").alias("sr_hz"),
+        F.col("band").cast("int").alias("band"),
+        F.round("norm_value", 4).alias("norm_db"),
+    )
+
+
 def clips_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ITU-R BS.1770-4 integrated loudness per clip (functions/
     loudness.py): K-weighting (cached-FIR FFT convolution), 400 ms
@@ -960,6 +988,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BS.1770 integrated loudness (gated LUFS); math pinned in
         # pytest vs the spec table / per-sample IIR / sine reference
         "clips_loudness": clips_loudness,
+        # CMVN: per-(sr, band) corpus stats in one aggregate, broadcast
+        # normalize; oracle recomputes stats+normalize in SQL over the
+        # independent mel fixture
+        "clips_mel_cmvn": clips_mel_cmvn,
         # TPC-H Q7: bilateral nation-pair trade, residual disjunction
         "tpch_q7": A.tpch_q7,
         # TPC-H Q8: market share, 3 broadcast dim chains, one cond-sum
@@ -2491,6 +2523,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, band, round(mel_db, 4) AS mel_db
             FROM read_parquet('/root/repo/.data/entry/clips_n500_mel_v1/*.parquet')
             WHERE band IS NOT NULL
+        """,
+        # CMVN over the mel fixture: identical stats + normalization in
+        # SQL; sr_hz from the clips table (mel fixture is per-band only)
+        "clips_mel_cmvn": """
+            WITH m AS (
+                SELECT f.clip_id, c.sr_hz, f.band, f.mel_db
+                FROM read_parquet('/root/repo/.data/entry/clips_n500_mel_v1/*.parquet') f
+                JOIN read_parquet('/root/repo/.data/entry/clips_n500/*.parquet') c USING (clip_id)
+                WHERE f.band IS NOT NULL
+            ),
+            s AS (
+                SELECT sr_hz, band, avg(mel_db) AS band_mean,
+                       stddev_pop(mel_db) AS band_std
+                FROM m GROUP BY sr_hz, band
+            )
+            SELECT m.clip_id, m.sr_hz, m.band,
+                   round(CASE WHEN s.band_std > 0
+                              THEN (m.mel_db - s.band_mean) / s.band_std
+                              ELSE 0.0 END, 4) AS norm_db
+            FROM m JOIN s USING (sr_hz, band)
         """,
         # NULL n_blocks marks the fixture's error rows (engine filters
         # decode_error instead); short/fully-gated clips keep NULL lufs

@@ -98,3 +98,36 @@ def test_mel_nonpositive_sr(spark):
     # undecided rate: not an error, but no filterbank -> NULL bands
     assert r["decode_error"] is None and r["mel_db"] is None
     assert r["n_samples"] == 800
+
+
+def test_cmvn_normalize_stats_and_zero_variance(spark):
+    """CMVN: normalized bands have mean 0 / pop-std 1 per group;
+    a zero-variance band maps to 0.0, not NULL/inf; grouping keys
+    keep groups independent."""
+    import numpy as np
+
+    from hydra_spark.functions.cmvn import cmvn_normalize
+
+    rows = [
+        # group 8000: band0 varies, band1 constant (zero variance)
+        ("a", 8000, [1.0, 5.0]),
+        ("b", 8000, [3.0, 5.0]),
+        ("c", 8000, [8.0, 5.0]),
+        # group 16000: different stats entirely
+        ("d", 16000, [100.0, -2.0]),
+        ("e", 16000, [104.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, sr_hz int, feats array<double>")
+    out = cmvn_normalize(df, "feats").collect()
+    got = {(r.clip_id, r.band): r.norm_value for r in out}
+
+    v = np.array([1.0, 3.0, 8.0])
+    exp = (v - v.mean()) / v.std()
+    for cid, e in zip("abc", exp):
+        assert abs(got[(cid, 0)] - e) < 1e-12
+    assert got[("a", 1)] == got[("b", 1)] == got[("c", 1)] == 0.0
+    assert abs(got[("d", 0)] + 1.0) < 1e-12 and abs(got[("e", 0)] - 1.0) < 1e-12
+    for g, n_bands in ((8000, 2), (16000, 2)):
+        for band in range(n_bands):
+            vals = [r.norm_value for r in out if r.sr_hz == g and r.band == band]
+            assert abs(sum(vals)) < 1e-9

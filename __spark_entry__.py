@@ -526,6 +526,27 @@ def clips_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_speed_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed perturbation at the standard 0.9 factor (functions/
+    perturb.py) — Kaldi/ESPnet 3-way tempo augmentation, implemented as
+    the resample kernel under a virtual source rate so the ratio is
+    exactly 0.9. SQL-checkable projection: n_samples_out =
+    ceil(n_in * K / round(0.9*K)) over octet_length; re-timed BYTES are
+    byte-parity-checked against the shared per-row oracle in
+    tests/test_perturb.py."""
+    from hydra_spark.functions.perturb import PRECISION_K, speed_perturb, virtual_sr
+
+    out = speed_perturb(_clips(spark), factor=0.9)
+    out = out.where(F.col("resample_error").isNull())
+    assert virtual_sr(0.9) == 900000 and PRECISION_K == 1000000
+    return out.select(
+        "clip_id", "codec", "sr_hz",
+        F.lit(0.9).alias("factor"),
+        "n_samples_in", "n_samples_out",
+        (F.col("n_samples_out") * F.lit(2)).cast("int").alias("n_bytes_out"),
+    )
+
+
 def transcript_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N9 normalization through the engine's vectorized UDF, over the
     driver documents table so DuckDB can mirror it (NFC + lower +
@@ -992,6 +1013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # normalize; oracle recomputes stats+normalize in SQL over the
         # independent mel fixture
         "clips_mel_cmvn": clips_mel_cmvn,
+        # speed perturbation (0.9): resample kernel under a virtual
+        # source rate; integer accounting oracle, bytes parity in pytest
+        "clips_speed_perturb": clips_speed_perturb,
         # TPC-H Q7: bilateral nation-pair trade, residual disjunction
         "tpch_q7": A.tpch_q7,
         # TPC-H Q8: market share, 3 broadcast dim chains, one cond-sum
@@ -2523,6 +2547,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, band, round(mel_db, 4) AS mel_db
             FROM read_parquet('/root/repo/.data/entry/clips_n500_mel_v1/*.parquet')
             WHERE band IS NOT NULL
+        """,
+        # speed perturb 0.9 == resample with ratio 900000/1000000; same
+        # admission filter as clips_resample, virtual-rate accounting
+        "clips_speed_perturb": """
+            WITH s AS (
+              SELECT clip_id, codec, sr_hz,
+                     CASE WHEN codec = 'pcm16' THEN octet_length(bytes)//2
+                          ELSE octet_length(bytes) END AS n_in
+              FROM read_parquet('/root/repo/.data/entry/clips_n500/*.parquet')
+              WHERE codec IN ('pcm16','ulaw','alaw') AND bytes IS NOT NULL
+                AND NOT (codec = 'pcm16' AND octet_length(bytes) % 2 = 1)
+                AND sr_hz > 0)
+            SELECT clip_id, codec, sr_hz,
+                   0.9 AS factor,
+                   CAST(n_in AS INTEGER) AS n_samples_in,
+                   CAST((n_in*1000000 + 899999)//900000 AS INTEGER) AS n_samples_out,
+                   CAST(2*((n_in*1000000 + 899999)//900000) AS INTEGER) AS n_bytes_out
+            FROM s
         """,
         # CMVN over the mel fixture: identical stats + normalization in
         # SQL; sr_hz from the clips table (mel fixture is per-band only)

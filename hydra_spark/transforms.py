@@ -233,3 +233,17 @@ def _loudness(df: DataFrame, **params) -> DataFrame:
     from hydra_spark.functions.loudness import loudness_clips
 
     return loudness_clips(df, **params)
+
+
+@register_stage("speed_perturb")
+def _speed_perturb(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.perturb import speed_perturb
+
+    return speed_perturb(df, **params)
+
+
+@register_stage("cmvn")
+def _cmvn(df: DataFrame, **params) -> DataFrame:
+    from hydra_spark.functions.cmvn import cmvn_normalize
+
+    return cmvn_normalize(df, **params)

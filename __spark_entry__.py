@@ -26,7 +26,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hydra_spark.plans import analytics as A
-from hydra_spark.ops import dedup as D, packing as PK, similarity as S, textstats as X
+from hydra_spark.ops import (
+    dedup as D,
+    packing as PK,
+    sampling as SMP,
+    similarity as S,
+    textstats as X,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1003,6 +1009,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sort); oracle is the naive SQL window cumsum — equality IS
         # the proof the two-phase decomposition is exact
         "pack_sequences": docs(lambda d: PK.pack_sequences(d, budget=512)),
+        # corpus mixing at temperature 0: every language balanced down
+        # to the smallest stratum (en 218 -> 64) by md5-hash rank —
+        # MEMBERSHIP is oracle-checked (same hash + rank rule), not
+        # just counts ('source' strata are uniform in this fixture;
+        # 'lang' is the skewed multilingual case the op exists for)
+        "balanced_mix": docs(
+            lambda d: SMP.balanced_sample(d, group_col="lang").select(
+                "doc_id", "lang"
+            )
+        ),
         # mel filterbank energies: batched-rfft + per-rate GEMM engine
         # path vs the independently written per-row fixture sidecar
         "clips_mel_bands": clips_mel_bands,
@@ -2547,6 +2563,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, band, round(mel_db, 4) AS mel_db
             FROM read_parquet('/root/repo/.data/entry/clips_n500_mel_v1/*.parquet')
             WHERE band IS NOT NULL
+        """,
+        # balanced mixing: identical hash + rank rule in SQL — kept
+        # MEMBERSHIP matches, not merely the per-source counts
+        "balanced_mix": """
+            WITH n AS (SELECT min(c) AS n_min
+                       FROM (SELECT count(*) AS c FROM documents GROUP BY lang)),
+            r AS (SELECT doc_id, lang,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ) AS rk
+                  FROM documents)
+            SELECT doc_id, lang FROM r, n WHERE rk <= n_min
         """,
         # speed perturb 0.9 == resample with ratio 900000/1000000; same
         # admission filter as clips_resample, virtual-rate accounting

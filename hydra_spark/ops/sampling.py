@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from fractions import Fraction
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def hex_threshold(frac) -> str:
@@ -103,3 +103,46 @@ def stratified_sample(
     fallback = (h < F.lit(hex_threshold(default))) if default else F.lit(False)
     expr = fallback if expr is None else expr.otherwise(fallback)
     return df.where(expr)
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Balance strata to the smallest stratum's size, key-stable.
+
+    The corpus-mixing step of a multi-source training pipeline at
+    temperature alpha=0 (uniform mixing WITHOUT replacement): every
+    stratum is downsampled to exactly n_min = min stratum count, so the
+    mixed corpus weights all sources equally. Selection is by md5-hash
+    RANK within the stratum — keep the n_min smallest hashes — which is
+    (a) a pure function of the keys present (no seed, no partitioning
+    dependence) and (b) consistent with the threshold samplers above:
+    the kept set IS the prefix of the same uniform hash order that
+    ``stratified_sample`` thresholds into.
+
+    Shape: one metadata-scale counts aggregate (1-row min broadcast
+    back) + one rank window per stratum. The per-stratum sort is the
+    EXACT form; at 10^12 rows a dominant stratum serializes into one
+    window task — the documented swap is threshold selection seeded by
+    an approximate hash quantile at rank n_min (same exact->approx swap
+    as order_value_deciles), identical output up to quantile error.
+    Non-exported intermediate columns are underscore-prefixed and
+    dropped.
+    """
+    h = _key_hash(key_col, salt)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_c"))
+    n_min = counts.agg(F.min("_c").alias("_n_min"))
+    rk = F.row_number().over(
+        # hash order; key tiebreak makes collisions (never observed,
+        # but cheap) deterministic too
+        W.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    )
+    return (
+        df.withColumn("_rk", rk)
+        .crossJoin(F.broadcast(n_min))
+        .where(F.col("_rk") <= F.col("_n_min"))
+        .drop("_rk", "_n_min")
+    )

@@ -686,3 +686,36 @@ def test_pack_sequences_two_phase_equals_naive(spark):
             for r in pack_sequences(df, budget=16, n_buckets=nb).collect()
         }
         assert got == expect, f"n_buckets={nb}"
+
+
+def test_balanced_sample_properties(spark):
+    """Every stratum lands at exactly n_min; kept set is key-stable
+    (partitioning-independent) and is the hash-order prefix."""
+    import hashlib
+
+    from hydra_spark.ops.sampling import balanced_sample
+
+    rows = [(i, "g1" if i < 30 else ("g2" if i < 40 else "g3")) for i in range(45)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = [
+        (r.doc_id, r.grp)
+        for r in balanced_sample(df, group_col="grp", key_col="doc_id").collect()
+    ]
+    from collections import Counter
+
+    by_grp = Counter(g for _, g in kept)
+    assert by_grp == {"g1": 5, "g2": 5, "g3": 5}
+
+    # hash-order prefix: min-5 md5s per group survive
+    for grp, ids in (("g1", range(30)), ("g2", range(30, 40)), ("g3", range(40, 45))):
+        ranked = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        assert {d for d, g in kept if g == grp} == set(ranked[:5])
+
+    # partitioning independence
+    kept2 = {
+        (r.doc_id, r.grp)
+        for r in balanced_sample(
+            df.repartition(7), group_col="grp", key_col="doc_id"
+        ).collect()
+    }
+    assert kept2 == set(kept)

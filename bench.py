@@ -145,6 +145,9 @@ HEADLINE = [
     "clips_window_rollup",
     "clips_segment",
     "clips_transcode",
+    "chunk_dedup",
+    "pack_sequences",
+    "clips_speed_perturb",
 ]
 
 

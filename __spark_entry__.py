@@ -1004,6 +1004,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # al. 2022 passage removal): global first-occurrence election
         # on digests only, doc reassembly hash-checked end-to-end
         "chunk_dedup": docs(lambda d: D.chunk_dedup(d, width=10)),
+        # PassJoin edit-distance join: exact levenshtein<=4 pairs via
+        # segment-pigeonhole equi-join (recall 1 by the partition
+        # lemma), candidate-only verify; oracle is the quadratic exact
+        # join, so equality certifies the linear candidate scheme
+        "edit_distance_pairs": docs(lambda d: D.edit_distance_pairs(d, max_dist=4)),
         # LM sequence packing: concatenate-then-chunk pack assignment
         # via a distributed two-phase prefix sum (no single-task global
         # sort); oracle is the naive SQL window cumsum — equality IS
@@ -1869,6 +1874,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
                    md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS clean_md5
             FROM elected GROUP BY doc_id
+        """,
+        # the quadratic exact edit-distance join the engine avoids;
+        # equality certifies the PassJoin candidate scheme (length>=5
+        # mirrors the engine's tiny-doc exclusion, vacuous here)
+        "edit_distance_pairs": """
+            WITH d AS (SELECT doc_id, text, length(text) AS l
+                       FROM documents WHERE length(text) >= 5),
+            cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                            a.text AS t1, b.text AS t2
+                     FROM d a JOIN d b
+                       ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= 4),
+            sel AS (SELECT d1, d2,
+                           CAST(levenshtein(t1, t2) AS INTEGER) AS dist
+                    FROM cand)
+            SELECT d1, d2, dist FROM sel WHERE dist <= 4
         """,
         # sequence packing: the oracle is the naive global window
         # cumsum the engine deliberately does NOT run — value equality

@@ -215,6 +215,111 @@ def benchmark_contamination(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance similarity join: all pairs with levenshtein <= t,
+    EXACT, without an all-pairs comparison — the PassJoin partition
+    scheme (Li et al., VLDB 2011) in pure DataFrame ops.
+
+    Partition lemma: split b into k = t+1 disjoint segments; if
+    ed(a, b) <= t then a contains at least one of b's segments as an
+    exact substring, and edits shift the match position by at most t.
+    So the INDEX side emits each doc's k segments keyed by (segment
+    text, segment index, own length); the PROBE side emits, for every
+    candidate partner length in [L-t, L+t] and every segment index,
+    the substrings of itself at the segment's position +-t. The
+    candidate join is a pure equi-join on (substring, seg index,
+    partner length) — recall is 1 by the lemma (the +-t window is a
+    superset of PassJoin's tighter multi-match windows), precision is
+    restored by an exact JVM ``levenshtein`` on the candidate pairs.
+
+    Scale shape: probe fan-out is (2t+1)^2 (t+1) substrings per doc —
+    O(docs * t^2), linear in the corpus, vs the O(docs^2) exact join;
+    substrings are cut to ~L/(t+1) chars BEFORE the candidate shuffle
+    so full texts ride only the final candidate-only verify join.
+    Docs shorter than t+1 chars are excluded (some segments would be
+    empty and the lemma breaks); dedup that tail with a direct
+    comparison inside its own tiny length bucket — at any corpus size
+    it is a vanishing fraction (this fixture's min length is ~40).
+
+    Output: (d1, d2, dist), d1 < d2, dist = levenshtein <= t.
+    """
+    t, k = max_dist, max_dist + 1
+    L = F.length(F.col(text_col))
+    base_src = _spread(df, id_col).select(
+        F.col(id_col), F.col(text_col), L.alias("_l")
+    ).where(F.col("_l") >= k)
+
+    def seg_len(lb, i):
+        # k segments of lb chars: first k-r of floor(lb/k), last r one
+        # longer (r = lb mod k)
+        return (lb / k).cast("int") + F.when(
+            F.lit(i) >= F.lit(k) - (lb % k).cast("int"), 1
+        ).otherwise(0)
+
+    def seg_start(lb, i):
+        return (lb / k).cast("int") * i + F.greatest(
+            F.lit(0), F.lit(i) - (F.lit(k) - (lb % k).cast("int"))
+        )
+
+    # index: each doc's own k segments
+    idx = (
+        base_src.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(t))))
+        .select(
+            F.col(id_col).alias("_b"),
+            F.col("_l").alias("_lb"),
+            "_i",
+            F.substring(
+                F.col(text_col), seg_start(F.col("_l"), F.col("_i")) + 1,
+                seg_len(F.col("_l"), F.col("_i")),
+            ).alias("_seg"),
+        )
+    )
+
+    # probes: substrings at the segment positions of every candidate
+    # partner length, shifted +-t
+    pr = (
+        base_src.withColumn("_dl", F.explode(F.sequence(F.lit(-t), F.lit(t))))
+        .withColumn("_lb", (F.col("_l") + F.col("_dl")).cast("int"))
+        .where(F.col("_lb") >= k)
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(t))))
+        .withColumn("_sl", seg_len(F.col("_lb"), F.col("_i")))
+        .withColumn("_p", seg_start(F.col("_lb"), F.col("_i")))
+        .withColumn(
+            "_s", F.explode(F.sequence(F.col("_p") - t, F.col("_p") + t))
+        )
+        .where((F.col("_s") >= 0) & (F.col("_s") + F.col("_sl") <= F.col("_l")))
+        .select(
+            F.col(id_col).alias("_a"),
+            "_lb",
+            "_i",
+            F.substring(F.col(text_col), F.col("_s") + 1, F.col("_sl")).alias("_seg"),
+        )
+    )
+
+    cand = (
+        pr.join(idx, ["_seg", "_lb", "_i"])
+        .where(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("d1"), F.greatest("_a", "_b").alias("d2")
+        )
+        .distinct()
+    )
+    left = df.select(F.col(id_col).alias("d1"), F.col(text_col).alias("_t1"))
+    right = df.select(F.col(id_col).alias("d2"), F.col(text_col).alias("_t2"))
+    return (
+        cand.join(left, "d1")
+        .join(right, "d2")
+        .withColumn("dist", F.levenshtein("_t1", "_t2"))
+        .where(F.col("dist") <= t)
+        .select("d1", "d2", "dist")
+    )
+
+
 def content_fingerprint_dedup(
     df: DataFrame,
     payload_col: str = "bytes",

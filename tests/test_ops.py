@@ -719,3 +719,51 @@ def test_balanced_sample_properties(spark):
         ).collect()
     }
     assert kept2 == set(kept)
+
+
+def test_edit_distance_pairs_exact_vs_bruteforce(spark):
+    """PassJoin candidate scheme must be EXACT (recall 1, precision 1)
+    vs brute-force levenshtein, across substitution/insert/delete edits
+    at head/middle/tail positions and distances straddling the bound."""
+    from hydra_spark.ops.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    variants = [
+        base,
+        "X" + base[1:],                      # sub at head (d=1)
+        base[:-1] + "X",                     # sub at tail (d=1)
+        base[:30] + "XYZ" + base[33:],       # 3 subs mid (d=3)
+        base[:10] + base[14:],               # 4-char delete (d=4)
+        base + " tail",                      # 5-char insert (d=5, excluded)
+        "completely different text here ok", # far away
+    ]
+    rows = [(i, tx) for i, tx in enumerate(variants)]
+    # second clique, disjoint
+    rows += [(10, "abcdefghij" * 4), (11, "abcdefghij" * 4 + "zz")]
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    t = 4
+    expect = {
+        (a, b): lev(ta, tb)
+        for ai, (a, ta) in enumerate(rows)
+        for b, tb in rows[ai + 1:]
+        if lev(ta, tb) <= t and len(ta) >= t + 1 and len(tb) >= t + 1
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.d1, r.d2): r.dist
+        for r in edit_distance_pairs(df, max_dist=t).collect()
+    }
+    assert got == expect
+    assert (0, 4) in got and got[(0, 4)] == 4   # boundary distance kept
+    assert (0, 5) not in got                    # distance 5 excluded

@@ -1049,6 +1049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q19 (adapted: brand/size/qty disjuncts): OR residual
         # with separable envelopes pushed below the broadcast join
         "tpch_q19": A.tpch_q19,
+        # TPC-H Q21 (adapted: late = shipped >60d after order date):
+        # both correlated subqueries decorrelated into one grouped pass;
+        # the oracle runs the textbook EXISTS/NOT EXISTS form
+        "tpch_q21": A.tpch_q21,
         # TPC-H Q22 (adapted: nationkey codes, dormant-since-1999):
         # scalar-subquery broadcast + LEFT ANTI recency join
         "tpch_q22": A.tpch_q22,
@@ -2785,6 +2789,26 @@ def oracle_sql() -> dict[str, str]:
         # adapted: cntrycode = c_nationkey (no c_phone column); 'no
         # orders' = no orders on/after 1999-01-01 (every fixture
         # customer has some order)
+        # the textbook correlated EXISTS / NOT EXISTS Q21 — equality
+        # certifies the engine's single-pass decorrelation
+        "tpch_q21": """
+            WITH l AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F')
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM l l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE l1.late
+              AND EXISTS (SELECT 1 FROM l l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM l l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.late)
+            GROUP BY s.s_name
+        """,
         "tpch_q22": """
             SELECT c_nationkey AS cntrycode,
                    CAST(count(*) AS BIGINT) AS numcust,

@@ -2091,6 +2091,57 @@ def tpch_q19(spark, sf_dir):
     )
 
 
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: the
+    fixture has no commit/receipt dates, so a line is LATE when it
+    ships more than 60 days after its order's date (timestamp
+    arithmetic, shared verbatim with the oracle). The textbook form
+    correlates TWO subqueries against the order's other lines (EXISTS
+    another supplier; NOT EXISTS another LATE supplier); the engine
+    DECORRELATES both into a TWO-LEVEL aggregation — first per
+    (order, supplier): any-late + late line count (partial aggregation
+    collapses a supplier's lines map-side before the shuffle), then
+    per order over the already-tiny per-supplier rows: supplier count,
+    late-supplier count, the single late supplier — qualifying
+    (n_supp > 1 AND n_late_supp == 1). Deliberately NOT countDistinct:
+    two distincts in one aggregate trigger Catalyst's Expand/gid
+    rewrite, which triples the fact rows before the shuffle; the
+    two-level form shuffles the fact once at (order, supplier)
+    granularity and never Expands (plan-guarded). numwait counts late
+    LINES (the textbook per-l1-row semantics). The oracle runs the
+    textbook EXISTS / NOT EXISTS SQL, so row equality certifies the
+    decorrelation. Supplier names attach via a broadcast dim join
+    AFTER aggregation (join input is one row per supplier)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    sup = load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.bool_or("late").alias("sup_late"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("sup_late_lines"),
+    )
+    g = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("sup_late"), 1).otherwise(0)).alias("n_late"),
+        F.max(F.when(F.col("sup_late"), F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(F.col("sup_late"), F.col("sup_late_lines"))).alias(
+            "late_lines"
+        ),
+    )
+    waiters = g.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    counts = waiters.groupBy("late_supp").agg(
+        F.sum("late_lines").cast("long").alias("numwait")
+    )
+    return (
+        counts.join(F.broadcast(sup), counts["late_supp"] == sup["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 def tpch_q22(spark, sf_dir):
     """TPC-H Q22 (global sales opportunity), adapted: the fixture has
     no c_phone, so the 'country code' is c_nationkey, and since every

@@ -279,3 +279,19 @@ def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
     assert "In(c_nationkey" in p
     assert "GreaterThanOrEqual(o_orderdate" in p
     assert "SortMergeJoin" not in p
+
+
+def test_tpch_q21_decorrelated_single_fact_pass(spark):
+    """Q21: the two textbook correlated subqueries must NOT appear as
+    extra fact scans — the engine decorrelates them into one grouped
+    pass, so lineitem is scanned once (orders once), the per-order
+    aggregate reuses the join's orderkey partitioning (no extra
+    exchange between join and aggregate), and supplier broadcasts."""
+    p = plan_of(A.tpch_q21(spark, SF))
+    # each scan prints twice (tree + detail header): 3 tables => 6 hits
+    assert p.count("Scan parquet") == 6
+    assert "BroadcastHashJoin" in p
+    # status filter pushed to the orders scan
+    assert "EqualTo(o_orderstatus,F)" in p
+    # two-level aggregate, never the multi-distinct Expand rewrite
+    assert "Expand" not in p

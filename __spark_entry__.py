@@ -886,6 +886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # left-outer interval join: the unmatched-emission (NULL-extend
         # at watermark expiry) half of the stream-stream join contract
         "interval_join_outer": A.interval_join_outer,
+        # FULL-outer interval join: orphan rows on BOTH sides (the
+        # unmatched-transcript audit of the streaming join contract)
+        "interval_join_full": A.interval_join_full,
         # PII scrubbing (emails/phones/IPv4 -> typed placeholders), pure
         # JVM regexp codegen; dialect-restricted patterns shared with
         # the RE2 oracle
@@ -2497,6 +2500,20 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL 30 MINUTE
             WHERE c.event_type = 'click'
+        """,
+        "interval_join_full": """
+            WITH c AS (SELECT event_id AS click_id, user_id, ts
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                         ts AS p_ts
+                  FROM events WHERE event_type = 'purchase')
+            SELECT click_id, purchase_id,
+                   coalesce(user_id, p_user) AS user_id,
+                   (click_id IS NOT NULL AND purchase_id IS NOT NULL) AS matched
+            FROM c FULL JOIN p
+              ON p_user = user_id
+             AND p_ts >= ts
+             AND p_ts <= ts + INTERVAL 30 MINUTE
         """,
         "table_skipping_scan": """
             SELECT event_type,

@@ -54,6 +54,10 @@ def clip_transcript_join(
         & (t["t_event_time"] <= F.expr(f"event_time + interval {hi}"))
     )
     joined = c.join(t, cond, how)
+    # full_outer emits transcript-orphan rows whose c-side is all-NULL;
+    # the key must survive from whichever side is present (no-op for
+    # inner/left_outer, where c's key is always populated)
+    joined = joined.withColumn("clip_id", F.coalesce(c["clip_id"], t["t_clip_id"]))
     return joined.drop("t_clip_id").withColumnRenamed("t_transcript", "transcript").withColumnRenamed(
         "t_event_time", "transcript_time"
     )

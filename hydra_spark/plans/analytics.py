@@ -206,6 +206,44 @@ def interval_join_outer(spark, sf_dir):
     )
 
 
+def interval_join_full(spark, sf_dir):
+    """FULL-OUTER interval join — BOTH unmatched sides emitted. The
+    streaming contract this certifies is clip_transcript_join(how=
+    'full_outer'): a transcript whose clip never arrives is emitted
+    with NULL clip columns once both watermarks pass — the ORPHAN
+    audit row the left-outer form can never surface (Hydra analog: the
+    key/value mismatch report T7, IngestionFlowV2.scala:120-141, which
+    reports both directions of the pairing). Batch-checkable form over
+    events: clicks with no purchase in-window carry NULL purchase_id
+    AND purchases preceded by no click carry NULL click_id. Same
+    equi-key + range condition and state-pruning shape as the
+    inner/left rows."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (clicks["user_id"] == buys["p_user"])
+        & (buys["p_ts"] >= clicks["click_ts"])
+        & (buys["p_ts"] <= clicks["click_ts"] + F.expr("interval 30 minutes"))
+    )
+    return clicks.join(buys, cond, "full_outer").select(
+        "click_id",
+        "purchase_id",
+        F.coalesce("user_id", "p_user").alias("user_id"),
+        (F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()).alias(
+            "matched"
+        ),
+    )
+
+
 def asof_purchase_click(spark, sf_dir):
     """As-of join (operators/join.py asof_join): each purchase matched
     to the user's LATEST click at or before it, within 30 minutes —

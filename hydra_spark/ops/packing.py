@@ -55,6 +55,13 @@ def pack_sequences(
     base = df.select(F.col(id_col), tok.alias("n_tokens"))
 
     lo, hi = base.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:  # empty corpus: return the (empty) output shape
+        return base.select(
+            id_col,
+            "n_tokens",
+            F.lit(None).cast("long").alias("stream_start"),
+            F.lit(None).cast("long").alias("pack_id"),
+        )
     width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
     bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width)).cast("int")
     base = base.withColumn("_b", bucket)

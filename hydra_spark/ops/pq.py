@@ -166,7 +166,7 @@ def pq_adc_topk(
         tab_rows.append((int(r[id_col]), [float(x) for x in tabs.ravel()]))
     qt = spark.createDataFrame(tab_rows, f"q_id long, tabs array<double>")
 
-    codes = pq_encode(emb, books, id_col, vec_col)
+    codes = pq_encode(emb, books, id_col, vec_col).where(F.col("codes").isNotNull())
     scored = codes.join(F.broadcast(qt), F.col(id_col) != F.col("q_id")).withColumn(
         "adc",
         F.expr(

@@ -767,3 +767,21 @@ def test_edit_distance_pairs_exact_vs_bruteforce(spark):
     assert got == expect
     assert (0, 4) in got and got[(0, 4)] == 4   # boundary distance kept
     assert (0, 5) not in got                    # distance 5 excluded
+
+
+def test_chunk_dedup_and_pack_null_and_empty_edges(spark):
+    """NULL text emits zero chunks (not a descending-sequence blowup);
+    empty input to pack_sequences returns the output shape."""
+    from hydra_spark.ops.dedup import chunk_dedup
+    from hydra_spark.ops.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_chunks for r in chunk_dedup(df, width=2).collect()}
+    assert got == {1: 2}  # null-text doc has no chunks, emits no row
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = pack_sequences(empty, budget=16)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tokens", "stream_start", "pack_id"]

@@ -862,23 +862,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle is the sibling's exact-SQL where recall=1 by params
         "ann_lsh_indexed": ann_lsh_indexed,
         "ann_ivf_indexed": ann_ivf_indexed,
-        # ---- tier C: re-certification (last driver-checked round 2)
-        # probing every list turns IVF into exact search — verifies the
-        # assign/explode/bucket-join/re-rank machinery against the
-        # brute-force oracle (the pruned form below stays recall-tested)
-        "ann_ivf_fullprobe": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=16, n_lists=16)),
-        # N9 transcript normalization, oracle-checkable form over the
-        # driver's documents table (clips form stays byte-parity-tested)
-        "transcript_normalize_docs": transcript_normalize_docs,
-        "lang_id": docs(X.lang_id),
-        "quality_score": docs(X.quality_score),
-        "token_counts": docs(X.token_counts),
-        "doc_fingerprint": docs(X.fingerprint),
-        # (binary_metadata — PASS(r2), multimodal plumbing shared with
-        # in-window media_feature_dims/media_resize — rotated past the
-        # window for dpp_partitioned_scan; see marker below)
-        "media_feature_dims": media_feature_dims,
-        "frame_sample": frame_sample,
+        # ---- tier C: never-driver-certified round-4 ops promoted into
+        # the window (the 8 rows previously here — ann_ivf_fullprobe,
+        # transcript_normalize_docs, lang_id, quality_score,
+        # token_counts, doc_fingerprint, media_feature_dims,
+        # frame_sample — all carry PASS(r2/r3) driver records already,
+        # so their slots go to first-time certifications; see the
+        # rotated-out marker past the window)
+        # mel filterbank energies: batched-rfft + per-rate GEMM engine
+        # path vs the independently written per-row fixture sidecar
+        "clips_mel_bands": clips_mel_bands,
+        # BS.1770 integrated loudness (gated LUFS); math pinned in
+        # pytest vs the spec table / per-sample IIR / sine reference
+        "clips_loudness": clips_loudness,
+        # CMVN: per-(sr, band) corpus stats in one aggregate, broadcast
+        # normalize; oracle recomputes stats+normalize in SQL over the
+        # independent mel fixture
+        "clips_mel_cmvn": clips_mel_cmvn,
+        # speed perturbation (0.9): resample kernel under a virtual
+        # source rate; integer accounting oracle, bytes parity in pytest
+        "clips_speed_perturb": clips_speed_perturb,
+        # the streaming Kleene matcher's COMPLETE output hash-checked:
+        # strict contiguity makes 'latest preceding non-view is a
+        # click within budget' an exact SQL formulation of the
+        # incremental kill/reopen semantics
+        "kleene_stream_scan": A.kleene_stream_scan,
+        # dynamic per-event gap (purchase 45m / click 30m / else 15m);
+        # oracle merges with a running max of event reach
+        "session_window_dynamic": A.session_window_dynamic,
+        # exact-substring dedup at 10-word-chunk granularity (Lee et
+        # al. 2022 passage removal): global first-occurrence election
+        # on digests only, doc reassembly hash-checked end-to-end
+        "chunk_dedup": docs(lambda d: D.chunk_dedup(d, width=10)),
+        # LM sequence packing: concatenate-then-chunk pack assignment
+        # via a distributed two-phase prefix sum (no single-task global
+        # sort); oracle is the naive SQL window cumsum — equality IS
+        # the proof the two-phase decomposition is exact
+        "pack_sequences": docs(lambda d: PK.pack_sequences(d, budget=512)),
         # (clips_sample_rollup and clips_transcript_normalize — both
         # PASS(r2) with engine paths shared by in-window siblings
         # (clips_window_rollup, transcript_normalize_docs) — rotated
@@ -997,6 +1017,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_sample_rollup": clips_sample_rollup,
         "clips_transcript_normalize": clips_transcript_normalize,
         "binary_metadata": docs(X.binary_metadata),
+        # rotated out in round 4 for the 8 first-time certifications in
+        # tier C above — every row here carries a PASS(r2)/PASS(r3)
+        # driver record in CORRECTNESS_r0{2,3}.json; oracles retained so
+        # the local harness and judge keep covering them.
+        # probing every list turns IVF into exact search — verifies the
+        # assign/explode/bucket-join/re-rank machinery vs brute force
+        "ann_ivf_fullprobe": emb(lambda e: S.ivf_topk(e, list(range(25)), k=3, n_probe=16, n_lists=16)),
+        # N9 transcript normalization, oracle-checkable form over the
+        # driver's documents table (clips form stays byte-parity-tested)
+        "transcript_normalize_docs": transcript_normalize_docs,
+        "lang_id": docs(X.lang_id),
+        "quality_score": docs(X.quality_score),
+        "token_counts": docs(X.token_counts),
+        "doc_fingerprint": docs(X.fingerprint),
+        "media_feature_dims": media_feature_dims,
+        "frame_sample": frame_sample,
         # ---- tier E overflow: new round-4 rows past the driver window
         # (oracled — the local harness and the judge's check cover them)
         # Q6 pure scan-aggregate: every predicate pushed, no row shuffle
@@ -1035,20 +1071,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 d, D.minhash_lsh_pairs(d, threshold=0.5, bands=64)
             ).select("doc_id", "source", "n_chars")
         ),
-        # exact-substring dedup at 10-word-chunk granularity (Lee et
-        # al. 2022 passage removal): global first-occurrence election
-        # on digests only, doc reassembly hash-checked end-to-end
-        "chunk_dedup": docs(lambda d: D.chunk_dedup(d, width=10)),
         # PassJoin edit-distance join: exact levenshtein<=4 pairs via
         # segment-pigeonhole equi-join (recall 1 by the partition
         # lemma), candidate-only verify; oracle is the quadratic exact
         # join, so equality certifies the linear candidate scheme
         "edit_distance_pairs": docs(lambda d: D.edit_distance_pairs(d, max_dist=4)),
-        # LM sequence packing: concatenate-then-chunk pack assignment
-        # via a distributed two-phase prefix sum (no single-task global
-        # sort); oracle is the naive SQL window cumsum — equality IS
-        # the proof the two-phase decomposition is exact
-        "pack_sequences": docs(lambda d: PK.pack_sequences(d, budget=512)),
         # corpus mixing at temperature 0: every language balanced down
         # to the smallest stratum (en 218 -> 64) by md5-hash rank —
         # MEMBERSHIP is oracle-checked (same hash + rank rule), not
@@ -1059,19 +1086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", "lang"
             )
         ),
-        # mel filterbank energies: batched-rfft + per-rate GEMM engine
-        # path vs the independently written per-row fixture sidecar
-        "clips_mel_bands": clips_mel_bands,
-        # BS.1770 integrated loudness (gated LUFS); math pinned in
-        # pytest vs the spec table / per-sample IIR / sine reference
-        "clips_loudness": clips_loudness,
-        # CMVN: per-(sr, band) corpus stats in one aggregate, broadcast
-        # normalize; oracle recomputes stats+normalize in SQL over the
-        # independent mel fixture
-        "clips_mel_cmvn": clips_mel_cmvn,
-        # speed perturbation (0.9): resample kernel under a virtual
-        # source rate; integer accounting oracle, bytes parity in pytest
-        "clips_speed_perturb": clips_speed_perturb,
         # TPC-H Q7: bilateral nation-pair trade, residual disjunction
         "tpch_q7": A.tpch_q7,
         # TPC-H Q8: market share, 3 broadcast dim chains, one cond-sum
@@ -1107,15 +1121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runtime bloom-filter join (row-granular DPP sibling):
         # injection asserted under forced-shuffle planning
         "bloom_filtered_join": A.bloom_filtered_join,
-        # the streaming Kleene matcher's COMPLETE output hash-checked:
-        # strict contiguity makes 'latest preceding non-view is a
-        # click within budget' an exact SQL formulation of the
-        # incremental kill/reopen semantics
-        "kleene_stream_scan": A.kleene_stream_scan,
         # same matcher behind the event-time RE-SEQUENCER with the
         # in-order contract broken upstream (jittered time-sliced
         # multi-batch replay); order/completeness asserted engine-side,
-        # oracle shared verbatim with kleene_stream_scan
+        # oracle shared verbatim with the in-window kleene_stream_scan
         "kleene_unordered_scan": A.kleene_unordered_scan,
         # ---- tier F: r3-certified — code/oracle touched this round first
         # S3 WebSocket framed protocol (commands + session metadata +
@@ -1127,9 +1136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": A.tumbling_window,
         "sliding_window": A.sliding_window,
         "session_window": A.session_window,
-        # dynamic per-event gap (purchase 45m / click 30m / else 15m);
-        # oracle merges with a running max of event reach
-        "session_window_dynamic": A.session_window_dynamic,
         # A1 latest-wins dedup / tombstones
         "dedup_latest_wins": A.dedup_latest_wins,
         "tombstone_latest_state": A.tombstone_latest_state,

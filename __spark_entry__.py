@@ -1105,6 +1105,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q22 (adapted: nationkey codes, dormant-since-1999):
         # scalar-subquery broadcast + LEFT ANTI recency join
         "tpch_q22": A.tpch_q22,
+        # TPC-H Q12 (adapted: linestatus as mode axis, Q21's >60d-lag
+        # lateness): one conditional-aggregate pass, single fact join
+        "tpch_q12": A.tpch_q12,
+        # TPC-H Q9 (adapted: supply cost = 0.6*p_retailprice, no
+        # partsupp in fixture): all dims broadcast, one fact shuffle
+        "tpch_q9": A.tpch_q9,
+        # TPC-H Q16 (adapted: lineitem distinct pairs as the
+        # part-supplier bridge, negative-balance suppliers excluded)
+        "tpch_q16": A.tpch_q16,
+        # TPC-H Q20 (adapted: shipped-quantity threshold stands in for
+        # ps_availqty): ids-only aggregates, semi-join chain
+        "tpch_q20": A.tpch_q20,
         # Z-order compaction: (value, user_id) Z-curve rewrite, file
         # pruning on BOTH axes asserted engine-side
         "table_zorder_scan": A.table_zorder_scan,
@@ -2923,6 +2935,57 @@ def oracle_sql() -> dict[str, str]:
                       AND o_orderdate >= DATE '1999-01-01')
             GROUP BY 1
             ORDER BY 1
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate <  DATE '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "tpch_q16": """
+            WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM bridge JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45'
+              AND p_type NOT LIKE 'MEDIUM%'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN (
+                    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q20": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_nationkey = 7
+              AND s_suppkey IN (
+                    SELECT l_suppkey FROM lineitem
+                    WHERE l_shipdate >= DATE '1996-01-01'
+                      AND l_shipdate <  DATE '1997-01-01'
+                      AND l_partkey IN (
+                            SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'blue%')
+                    GROUP BY l_suppkey, l_partkey
+                    HAVING sum(l_quantity) > 20.0)
         """,
         # the registry the row commits is deterministic, so the oracle
         # is a CASE over the same routes; disabled (alaw) and unknown

@@ -2390,3 +2390,130 @@ def table_rebucket(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping modes and order priority), adapted: the
+    fixture has no l_shipmode/l_commitdate/l_receiptdate, so the mode
+    axis is l_linestatus and "late" reuses the Q21 convention (shipped
+    more than 60 days after the order date). Plan shape for 100 TB:
+    the year window prunes lineitem at the scan, the only fact shuffle
+    is the lineitem/orders equi-join on orderkey, and both priority
+    counters come out of ONE conditional-aggregate pass (no second
+    scan, no pivot shuffle)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).where(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted: the fixture has no
+    partsupp, so supply cost is modeled from the part dimension
+    (0.6 * p_retailprice per unit) — deterministic and
+    fixture-complete; profit keeps the original shape
+    rev - cost*qty, grouped by supplier nation and order year for
+    parts named like '%red%'. Plan shape for 100 TB: part (filtered
+    BEFORE the join), supplier, and nation all broadcast — the only
+    fact-fact shuffle is lineitem/orders on orderkey, and the final
+    group-by runs on (nation, year), a tiny key space with full
+    map-side collapse."""
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+
+
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted: the fixture
+    has no partsupp, so the part<->supplier association is the
+    DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem, and
+    the "complaints" exclusion (no comment column) is suppliers with a
+    negative account balance. Plan shape for 100 TB: the bridge
+    distinct is the only fact shuffle and it carries two int columns
+    (ids only — no payload rides the exchange); the excluded-supplier
+    set is a broadcast LEFT ANTI; part joins broadcast; the final
+    count-distinct groups a dimension-sized set."""
+    bridge = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    ok = bridge.join(
+        F.broadcast(bad), bridge["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    )
+    j = ok.join(F.broadcast(part), ok["l_partkey"] == part["p_partkey"])
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: the fixture has
+    no partsupp availability, so a supplier "has excess stock" of a
+    part when its 1996 shipped quantity for that part exceeds the
+    excess threshold (> 20 units at fixture scale, the analog of
+    0.5 * avg availability); suppliers in one nation holding any such
+    'blue%' part qualify. Plan shape for 100 TB: the year filter
+    prunes lineitem at the scan, the per-(supp,part) sum is the only
+    fact shuffle (ids + one numeric), qualifying pairs semi-join
+    against the broadcast filtered part dim, and supplier resolves via
+    broadcast semi join — the supplier table itself never shuffles."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 20.0)
+    )
+    blue = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    hits = heavy.join(
+        F.broadcast(blue), heavy["l_partkey"] == blue["p_partkey"], "left_semi"
+    ).select("l_suppkey").distinct()
+    supp = load(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 7)
+    return (
+        supp.join(F.broadcast(hits), supp["s_suppkey"] == hits["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )

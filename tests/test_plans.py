@@ -295,3 +295,47 @@ def test_tpch_q21_decorrelated_single_fact_pass(spark):
     assert "EqualTo(o_orderstatus,F)" in p
     # two-level aggregate, never the multi-distinct Expand rewrite
     assert "Expand" not in p
+
+
+def test_tpch_q12_single_fact_join_one_agg_pass(spark):
+    """Q12 (adapted): the year window must prune the lineitem scan,
+    both priority counters come from ONE aggregate (no Expand, no
+    second fact scan), and the only exchange pair is the
+    lineitem/orders equi-join plus the 2-key group-by."""
+    p = plan_of(A.tpch_q12(spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "Expand" not in p
+    # exactly one scan of each fact (tree + detail header = 2 each)
+    assert p.count("Scan parquet") == 4
+
+
+def test_tpch_q9_all_dims_broadcast(spark):
+    """Q9 (adapted): part/supplier/nation all broadcast — the fact side
+    shuffles only for the lineitem/orders join; the p_name LIKE filter
+    prunes part BEFORE its broadcast."""
+    p = plan_of(A.tpch_q9(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,red)" in p
+
+
+def test_tpch_q16_ids_only_bridge_and_anti_join(spark):
+    """Q16 (adapted): the part-supplier bridge distinct must read ONLY
+    the two id columns from lineitem (no payload rides the shuffle),
+    and the complained-supplier exclusion is a broadcast anti join."""
+    p = plan_of(A.tpch_q16(spark, SF))
+    scan = p[p.index("Scan parquet"):]
+    schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "l_partkey" in schema and "l_suppkey" in schema
+    assert "l_extendedprice" not in schema and "l_quantity" not in schema
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q20_semi_joins_supplier_never_shuffles(spark):
+    """Q20 (adapted): both membership checks are broadcast LEFT SEMI
+    joins (part keys into the aggregate, qualified suppliers into
+    supplier) — supplier itself must not sit under any exchange."""
+    p = plan_of(A.tpch_q20(spark, SF))
+    assert p.count("LeftSemi") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "EqualTo(s_nationkey,7)" in p

@@ -492,6 +492,37 @@ def clips_time_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clips_freq_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpecAugment frequency masking (functions/mask.py freq_mask) —
+    the companion axis to clips_time_mask: 2 consecutive mel bands
+    floored to -120 dB at a position that is the same pure
+    (clip_id, salt) function the time mask uses, computed in plain SQL
+    expressions shared verbatim with the oracle. The oracle rebuilds
+    the masked features from the independently written mel fixture
+    (synth.write_clip_mel), so both the mask geometry AND the
+    passthrough values are value-checked."""
+    from hydra_spark import synth
+    from hydra_spark.functions.mask import freq_mask
+    from hydra_spark.functions.mel import mel_clips
+
+    clips = _clips(spark)
+    _ensure_sidecar(spark, "_mel_v1", synth.write_clip_mel)
+    feats = mel_clips(clips).where(
+        F.col("decode_error").isNull() & F.col("mel_db").isNotNull()
+    )
+    out = freq_mask(feats, n_mels=8, mask_bands=2, salt="v1")
+    return out.select(
+        "clip_id",
+        "mask_band_start",
+        F.posexplode("mel_db_masked").alias("band", "db"),
+    ).select(
+        "clip_id",
+        "mask_band_start",
+        F.col("band").cast("int").alias("band"),
+        F.round("db", 4).alias("mel_db"),
+    )
+
+
 def clips_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip spectral centroid + dominant frequency through the
     batched-rfft stage (functions/spectral.py; one 2D FFT per Arrow
@@ -1117,6 +1148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q20 (adapted: shipped-quantity threshold stands in for
         # ps_availqty): ids-only aggregates, semi-join chain
         "tpch_q20": A.tpch_q20,
+        # SpecAugment's second axis: deterministic mel-band masking,
+        # same (clip_id, salt) position function as the time mask
+        "clips_freq_mask": clips_freq_mask,
         # Z-order compaction: (value, user_id) Z-curve rewrite, file
         # pruning on BOTH axes asserted engine-side
         "table_zorder_scan": A.table_zorder_scan,
@@ -2972,6 +3006,28 @@ def oracle_sql() -> dict[str, str]:
               AND l_suppkey NOT IN (
                     SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
             GROUP BY p_brand, p_type, p_size
+        """,
+        # freq mask: identical md5->ascii fold as clips_time_mask, span
+        # n_mels - mask_bands + 1 = 7; masked bands hit the -120 floor,
+        # untouched bands must equal the independent mel fixture
+        "clips_freq_mask": """
+            WITH m AS (
+              SELECT clip_id, band, mel_db
+              FROM read_parquet('/root/repo/.data/entry/clips_n500_mel_v1/*.parquet')
+              WHERE band IS NOT NULL),
+            f AS (
+              SELECT clip_id,
+                     CAST((ascii(substring(md5(clip_id || 'v1'), 1, 1))*16777216
+                      + ascii(substring(md5(clip_id || 'v1'), 2, 1))*65536
+                      + ascii(substring(md5(clip_id || 'v1'), 3, 1))*256
+                      + ascii(substring(md5(clip_id || 'v1'), 4, 1))) % 7 AS INT)
+                       AS mask_band_start
+              FROM (SELECT DISTINCT clip_id FROM m))
+            SELECT m.clip_id, f.mask_band_start, m.band,
+                   CASE WHEN m.band >= f.mask_band_start
+                         AND m.band < f.mask_band_start + 2
+                        THEN -120.0 ELSE round(m.mel_db, 4) END AS mel_db
+            FROM m JOIN f USING (clip_id)
         """,
         "tpch_q20": """
             SELECT s_suppkey, s_name

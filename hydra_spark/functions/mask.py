@@ -149,3 +149,37 @@ def time_mask(
             )
 
     return with_pos.mapInArrow(fn, schema=out_schema)
+
+
+def freq_mask(
+    feats: DataFrame,
+    n_mels: int,
+    mask_bands: int = 2,
+    id_col: str = "clip_id",
+    salt: str = "",
+    value_col: str = "mel_db",
+) -> DataFrame:
+    """SpecAugment's OTHER axis — frequency masking over mel features.
+
+    ``mask_bands`` consecutive mel bands are floored to the -120 dB
+    silence floor at a band position that is the same pure function of
+    (clip_id, salt) the time mask uses (mask_position_expr), so one
+    salt redraws both augmentation axes coherently and the DuckDB
+    oracle reproduces the mask in plain SQL. Runs entirely JVM-side
+    (one F.transform over the feature array — no Python, no shuffle);
+    adds ``mask_band_start`` (~4 B/row).
+    """
+    if not 0 < mask_bands <= n_mels:
+        raise ValueError(f"mask_bands must be in (0, {n_mels}], got {mask_bands}")
+    start = mask_position_expr(
+        F.lit(n_mels), F.lit(mask_bands), id_col, salt
+    ).cast("int")
+    d = feats.withColumn("mask_band_start", start)
+    lo = F.col("mask_band_start")
+    masked = F.transform(
+        F.col(value_col),
+        lambda v, i: F.when(
+            (i >= lo) & (i < lo + mask_bands), F.lit(-120.0)
+        ).otherwise(v),
+    )
+    return d.withColumn(f"{value_col}_masked", masked)

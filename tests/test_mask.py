@@ -104,3 +104,45 @@ def test_time_mask_silences_energy(spark):
     s, l = g["mask_start"], g["mask_len"]
     assert l == 1000 and np.all(pcm[s : s + l] == 0)
     assert np.all(pcm[: s] != 0) and np.all(pcm[s + l :] != 0)
+
+
+def test_freq_mask_geometry_and_passthrough(spark):
+    """freq_mask: exactly mask_bands consecutive entries floored at the
+    deterministic per-clip position, every other entry bit-identical,
+    and a salt change redraws positions without touching geometry."""
+    from hydra_spark.functions.mask import freq_mask
+
+    n_mels = 8
+    rows = [(f"f{i:02d}", [float(-10 * b - i) for b in range(n_mels)]) for i in range(40)]
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("mel_db", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["clip_id"]: r
+        for r in freq_mask(df, n_mels=n_mels, mask_bands=2, salt="v1").collect()
+    }
+    starts = set()
+    for cid, orig in rows:
+        r = got[cid]
+        s = r["mask_band_start"]
+        assert s == _oracle_pos(cid, "v1", n_mels, 2)
+        starts.add(s)
+        for b in range(n_mels):
+            want = -120.0 if s <= b < s + 2 else orig[b]
+            assert r["mel_db_masked"][b] == want, (cid, b)
+    assert len(starts) > 1  # positions actually vary across clips
+
+    redraw = {
+        r["clip_id"]: r["mask_band_start"]
+        for r in freq_mask(df, n_mels=n_mels, mask_bands=2, salt="v2").collect()
+    }
+    assert any(redraw[c] != got[c]["mask_band_start"] for c, _ in rows)
+
+    with pytest.raises(ValueError):
+        freq_mask(df, n_mels=n_mels, mask_bands=0)
+    with pytest.raises(ValueError):
+        freq_mask(df, n_mels=n_mels, mask_bands=9)

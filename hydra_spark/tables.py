@@ -28,6 +28,7 @@ foreachBatch on the driver, mirroring one-query-per-table ownership.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re as _re
@@ -36,6 +37,37 @@ import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+@contextlib.contextmanager
+def _micros_timestamps(df: DataFrame):
+    """Force INT64-micros parquet timestamps for the duration of a table
+    write, regardless of the caller's session defaults.
+
+    The file-skipping layer (`_file_column_stats`) reads parquet footer
+    min/max; legacy INT96 timestamps carry NO footer statistics, so a
+    session left at Spark's default `INT96` silently strips every ts
+    column of its pruning stats (and the Iceberg spec forbids INT96 for
+    exactly this reason). The repo's own session builder already sets
+    TIMESTAMP_MICROS (session.py), but callers hand us arbitrary
+    sessions — the guarantee must live at the write site. Runtime
+    `spark.conf.set` is legal for this key; prior value restored in
+    `finally` so we never mutate the caller's session behind its back.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 class SchemaCompatError(ValueError):
@@ -792,7 +824,8 @@ class TransactionalTable:
             if target_file_rows < 1:
                 raise ValueError(f"target_file_rows must be >= 1, got {target_file_rows}")
             writer = writer.option("maxRecordsPerFile", target_file_rows)
-        writer.partitionBy("_bucket").parquet(out_dir)
+        with _micros_timestamps(out):
+            writer.partitionBy("_bucket").parquet(out_dir)
         new_files = {k: list(v) for k, v in m["files"].items()}
         written = self._scan_bucket_output(out_dir)
         new_files.update(written)
@@ -855,9 +888,10 @@ class TransactionalTable:
                 )
                 commit_id = uuid.uuid4().hex[:12]
                 out_dir = os.path.join(self.path, "data", f"rebucket-{commit_id}")
-                df.repartition(new_n_buckets, "_bucket").write.mode(
-                    "overwrite"
-                ).partitionBy("_bucket").parquet(out_dir)
+                with _micros_timestamps(df):
+                    df.repartition(new_n_buckets, "_bucket").write.mode(
+                        "overwrite"
+                    ).partitionBy("_bucket").parquet(out_dir)
                 written = self._scan_bucket_output(out_dir)
             else:
                 written = {}
@@ -914,9 +948,10 @@ class TransactionalTable:
         ``out``; the commit protocol must stay byte-identical."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.path, "data", f"{prefix}-{commit_id}")
-        out.repartition(len(cands), "_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("_bucket").parquet(out_dir)
+        with _micros_timestamps(out):
+            out.repartition(len(cands), "_bucket").write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(out_dir)
         written = self._scan_bucket_output(out_dir)
         new_files = {k: list(v) for k, v in m["files"].items()}
         for b in cands:
@@ -1367,12 +1402,13 @@ class TransactionalTable:
 
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.path, "data", f"c{commit_id}")
-        (
-            merged.repartition(max(1, len(affected)), "_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        with _micros_timestamps(merged):
+            (
+                merged.repartition(max(1, len(affected)), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(out_dir)
+            )
         new_files = dict(m["files"])
         written = self._scan_bucket_output(out_dir)
         new_files.update(written)
@@ -1443,7 +1479,8 @@ class TransactionalTable:
             commit_id = uuid.uuid4().hex[:12]
             out_dir = os.path.join(self.path, "data", f"c{commit_id}")
             out = batch if preclustered else batch.repartition(self.n_buckets, "_bucket")
-            out.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+            with _micros_timestamps(out):
+                out.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
         finally:
             if pinned is not None:
                 pinned.unpersist()
@@ -1492,7 +1529,8 @@ class AppendTable:
         A replayed batch overwrites its own directory — same batch-id
         idempotence as append_pandas."""
         out_dir = os.path.join(self.path, f"batch-{batch_id}.d")
-        df.write.mode("overwrite").parquet(out_dir)
+        with _micros_timestamps(df):
+            df.write.mode("overwrite").parquet(out_dir)
 
     def read(self, spark: SparkSession) -> DataFrame:
         # mergeSchema: an append table can have writers with different

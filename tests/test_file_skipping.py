@@ -332,6 +332,43 @@ def test_update_where_guards_fire_early_and_on_type_change(spark, tmp_path):
         assert {r.v for r in tab.read(spark).collect()} == {1, 2}
 
 
+def test_ts_pruning_survives_vanilla_int96_session(spark, tmp_path):
+    """Round-4 driver regression: a vanilla SparkSession leaves
+    spark.sql.parquet.outputTimestampType at its INT96 default, and
+    INT96 parquet timestamps carry no footer min/max — so if the table
+    relied on the repo session builder for the conf, every ts column
+    went stats-less and ts-range pruning silently admitted all files.
+    The write paths must force TIMESTAMP_MICROS themselves (and restore
+    the caller's conf after), so pruning works under ANY session."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")  # simulate the driver's default session
+    try:
+        t = _mk(spark, tmp_path / "t")
+        assert spark.conf.get(key) == "INT96", "write path must restore caller conf"
+        lo = dt.datetime(2025, 3, 2)
+        hi = dt.datetime(2025, 3, 2, 23, 59, 59)
+        kept, total = t.plan_files({"ts": (lo, hi)})
+        assert len(kept) == 4 < total, "ts stats must survive an INT96 session"
+        assert t.read_where(spark, {"ts": (lo, hi)}).count() == 400
+        # the DML rewrites must also keep their ts stats under INT96
+        rep = t.delete_where(spark, {"ts": (lo, hi)})
+        assert rep["rows_deleted"] == 400 and rep["files_untouched"] > 0
+        rep = t.update_where(
+            spark,
+            {"ts": (dt.datetime(2025, 3, 3), dt.datetime(2025, 3, 3, 23, 59, 59))},
+            {"v": F.col("v") + 100000},
+        )
+        assert rep["rows_updated"] == 400 and rep["files_untouched"] > 0
+        # post-rewrite manifest still carries ts stats for the new files
+        kept2, total2 = t.plan_files(
+            {"ts": (dt.datetime(2025, 3, 4), dt.datetime(2025, 3, 4, 23, 59, 59))}
+        )
+        assert kept2 and len(kept2) < total2
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_zorder_interleave_matches_reference(spark):
     """The JVM shift/mask expression tree must equal the textbook
     Morton interleave bit-for-bit."""

@@ -499,19 +499,33 @@ def run_scaling(default_n: int) -> list[dict]:
     from hydra_spark.session import get_spark
 
     pair_ns = [(p[3] if len(p) > 3 else default_n) for p in PAIRS]
-    # synthesize once per distinct size (cached, outside the timed region)
-    spark = get_spark(cores=CPUS, app_name="bench-synth")
-    paths_by_n = {n: synth.ensure_dataset(spark, DATA_ROOT, n=n) for n in set(pair_ns)}
-    warm_paths = (
-        synth.ensure_dataset(spark, DATA_ROOT, n=WARM_N) if WARM_N < min(pair_ns) else None
-    )
-    spark.stop()
+    # The primary (smallest) dataset stays cached across rounds; every
+    # larger pair's dataset is synthesized LAZILY right before its pair
+    # and freed right after — round-4 post-mortem: generating all sizes
+    # up front (36 GB for 960k) next to 36 GB of cached 480k data
+    # overflowed the driver's 43 GB free disk and killed the bench
+    # before any number existed. HYDRA_BENCH_KEEP_DATA=1 keeps them.
+    keep_n = min(pair_ns)
+    keep_data = os.environ.get("HYDRA_BENCH_KEEP_DATA") == "1"
 
+    def _synthesize(ns: list[int]) -> dict:
+        spark = get_spark(cores=CPUS, app_name="bench-synth")
+        try:
+            return {n: synth.ensure_dataset(spark, DATA_ROOT, n=n) for n in ns}
+        finally:
+            spark.stop()
+
+    warm_paths = (
+        _synthesize([WARM_N])[WARM_N] if WARM_N < min(pair_ns) else None
+    )
     out = []
     for (cores_lo, cores_hi, sp, *_), n in zip(PAIRS, pair_ns):
+        paths = _synthesize([n])[n]  # outside the timed region, as before
         r_lo, r_hi, trials = run_streaming_pair(
-            paths_by_n[n], n, cores_lo, cores_hi, sp, warm_paths
+            paths, n, cores_lo, cores_hi, sp, warm_paths
         )
+        if n != keep_n and not keep_data:
+            synth.drop_dataset(DATA_ROOT, n)
         eff = (r_hi["clips_per_sec"] / r_lo["clips_per_sec"]) / (cores_hi / cores_lo)
         out.append({
             "cores_lo": cores_lo,

@@ -485,6 +485,52 @@ def _encode_audio_batches(seed: int, out_schema: T.StructType):
     return fn
 
 
+# Average on-disk bytes per clip (parquet audio stream) — measured on
+# the cached bench datasets; used only for disk preflight estimates.
+BYTES_PER_CLIP = 39_000
+
+# Above this size the joined clips intermediate (~2x the audio stream)
+# is deleted once the split streams exist: at bench scale it is pure
+# disk overhead (round-4 post-mortem: an 18 GB stale intermediate +
+# regeneration of the 960k streams overflowed the driver's disk and
+# killed the bench run before any number existed). Small/test datasets
+# keep it — the pytest `clips` fixture reads it directly.
+DROP_INTERMEDIATE_MIN_N = 100_000
+
+
+def _purge_aborted(path: str) -> None:
+    """Remove a dataset directory left behind by a crashed write (no
+    _SUCCESS marker): it holds partial task output that wastes disk and
+    can never be read."""
+    import shutil
+
+    if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def dataset_bytes_needed(root: str, n: int) -> int:
+    """Disk bytes ensure_dataset would still have to write for size n
+    (0 if the split streams are already cached)."""
+    if os.path.exists(os.path.join(root, f"transcripts_n{n}", "_SUCCESS")):
+        return 0
+    need = n * BYTES_PER_CLIP
+    if n < 500_000 and n >= DROP_INTERMEDIATE_MIN_N:
+        # two-step path: the joined intermediate coexists with the audio
+        # stream until the split finishes (then it is deleted)
+        need *= 2
+    return need
+
+
+def drop_dataset(root: str, n: int) -> None:
+    """Free every on-disk artifact of size n (the inverse of
+    ensure_dataset — bench uses it to keep only one large dataset
+    resident at a time)."""
+    import shutil
+
+    for name in (f"clips_n{n}", f"clips_audio_n{n}", f"transcripts_n{n}"):
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def ensure_dataset(
     spark: SparkSession,
     root: str,
@@ -493,6 +539,8 @@ def ensure_dataset(
     with_streams: bool = True,
 ) -> dict[str, str]:
     """Idempotent: build clips (+ split streams) under root if missing."""
+    import shutil
+
     paths = {
         "clips": os.path.join(root, f"clips_n{n}"),
         "audio": os.path.join(root, f"clips_audio_n{n}"),
@@ -504,6 +552,20 @@ def ensure_dataset(
         # split streams already exist — the intermediate clips table may
         # have been deleted to reclaim disk; nothing to do
         return paths
+    # aborted partial writes (no _SUCCESS) are dead weight: purge before
+    # estimating or regenerating
+    for k in ("clips", "audio", "transcripts"):
+        _purge_aborted(paths[k])
+    have_clips = os.path.exists(os.path.join(paths["clips"], "_SUCCESS"))
+    need = dataset_bytes_needed(root, n)
+    free = shutil.disk_usage(root if os.path.isdir(root) else "/").free
+    if need and free < need + 5 * 2**30:  # keep a 5 GiB safety floor
+        raise RuntimeError(
+            f"ensure_dataset(n={n}) needs ~{need / 2**30:.0f} GiB plus a 5 GiB "
+            f"floor but only {free / 2**30:.0f} GiB is free under {root} — free "
+            f"cached datasets first (hydra_spark.synth.drop_dataset(root, n) "
+            f"removes one size; stale bench sizes live in {root})"
+        )
     # file count bounds streaming scan/decode parallelism (one task
     # per file) — scale with n, cap at 128
     files = max(8, min(128, n // 2000))
@@ -519,4 +581,8 @@ def ensure_dataset(
         write_clips(spark, paths["clips"], n, seed)
     if with_streams and not have_streams:
         split_streams(spark, paths["clips"], paths["audio"], paths["transcripts"], seed, files=files)
+    if with_streams and n >= DROP_INTERMEDIATE_MIN_N:
+        # bench scale: the joined intermediate served only the split —
+        # reclaim its ~2x-audio footprint immediately
+        shutil.rmtree(paths["clips"], ignore_errors=True)
     return paths

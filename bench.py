@@ -164,6 +164,10 @@ def run_headline(spark) -> dict[str, float]:
     # query (index vs on-the-fly, both engine-side); the bench line must
     # time the pure index-serving path, not the parity harness around it
     qs["ann_lsh_indexed"] = E.ann_lsh_indexed_raw
+    # likewise ann_lsh_topk's registered row is the round-5 recall
+    # certification (exact baseline + asserts around the approx path);
+    # the bench line times the pure approximate serving path
+    qs["ann_lsh_topk"] = E.ann_lsh_topk_raw
     # one-time JVM/codegen/scan warmup so the first query's number is the
     # query, not session spin-up; Python workers pre-forked for the same
     # reason (the first pandas-UDF query otherwise pays a 32-process

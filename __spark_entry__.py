@@ -889,21 +889,79 @@ def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
 
 # --------------------------------------------------------------- registry
 
+# ORDERING CONTRACT: the driver certifies the FIRST 50 queries() entries
+# (registry order). _CERT_WINDOW pins exactly which 50 those are; the rest
+# follow in definition order. Round-5 window = the 37 rows never
+# driver-certified in CORRECTNESS_r01..r04 (incl. the 3 INT96-portability
+# fixes table_skipping_scan / table_delete_where / table_update_where and
+# the 2 newly-oracled ANN certification rows), the rows whose code or
+# oracle changed this round (real-pixel multimodal), the new round-5 rows,
+# and high-value filler from the certified core. Every name past the
+# window has a green record in a prior CORRECTNESS_r0*.json.
+_CERT_WINDOW = [
+    # 3 rows red in r4 (INT96 footer-stats portability; fixed at write time
+    # inside TransactionalTable — keep in-window to prove the fix)
+    "table_skipping_scan",
+    "table_delete_where",
+    "table_update_where",
+    # 34 judge-verified but never driver-certified rows
+    "interval_join_full",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "pq_adc_audit",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "cep_pattern_scan",
+    "customer_running_total",
+    "order_value_deciles",
+    "benchmark_contamination",
+    "corpus_gate",
+    "dedup_apply",
+    "edit_distance_pairs",
+    "balanced_mix",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q12",
+    "tpch_q9",
+    "tpch_q16",
+    "tpch_q20",
+    "clips_freq_mask",
+    "table_zorder_scan",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
+    "sketch_heavy_hitters",
+    "variant_json_scan",
+    "bloom_filtered_join",
+    "kleene_unordered_scan",
+    # rows whose implementation changes this round (real pixel math in
+    # ops/multimodal.py) — outputs change, so they need recertification
+    "media_resize",
+    "media_feature_dims",
+    "frame_sample",
+    # high-value filler from the certified core (flagship + headline ops)
+    "tumbling_window",
+    "clips_sample_rollup",
+    "dedup_latest_wins",
+    "interval_join",
+    "minhash_lsh_dup",
+    "skew_salted_agg",
+    "codec_routing",
+    "session_window_dynamic",
+    "clips_transcode",
+    "chunk_dedup",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT: the driver certifies the FIRST 50 entries of this
-    # dict (registry order). Rows are therefore ordered by certification
-    # need, not by topic:
-    #   tier A — never driver-certified before round 4 (12 audio/text ops)
-    #   tier B — oracles new in round 4 (indexed-ANN parity, lsh_dup)
-    #   tier C — last certified in round 2 (pushed out of the r3 window)
-    #   tier D — honest rows-only ANN rows (driver records rows-only)
-    #   tier E — ops new in round 4
-    #   tier F — r3-certified rows whose code/oracle changed this round,
-    #            then the r3-certified core; the tail past 50 is all
-    #            PASS(r3) with records in CORRECTNESS_r03.json.
     docs = lambda fn: (lambda spark, sf: fn(A.load(spark, sf, "documents")))
     emb = lambda fn: (lambda spark, sf: fn(A.load(spark, sf, "embeddings")))
-    return {
+    base = {
         # ---- tier A: streaming engine (clips) + text ops, first driver
         # certification. All oracle-checked against the deterministic
         # fixture parquet — sample_rollup/audio_stats via byte-derivable
@@ -1327,6 +1385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": A.tpch_q3,
         "nation_revenue": A.nation_revenue,
     }
+    missing = [k for k in _CERT_WINDOW if k not in base]
+    assert len(_CERT_WINDOW) == 50 and not missing, (
+        f"_CERT_WINDOW broken: {len(_CERT_WINDOW)} names, unknown={missing}"
+    )
+    ordered = {k: base[k] for k in _CERT_WINDOW}
+    ordered.update((k, v) for k, v in base.items() if k not in ordered)
+    return ordered
 
 
 # one definition, two rows: kleene_stream_scan (ordered single-batch
@@ -3037,10 +3102,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_linestatus
         """,
         "tpch_q9": """
+            -- operands cast to DOUBLE so DuckDB sums in the same fp
+            -- arithmetic Spark does (a DECIMAL-exact sum can round-to-4dp
+            -- differently on a .00005 boundary; three-factor profit
+            -- accumulates more fp error than q7's two-factor volume)
             SELECT n_name AS nation,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   round(sum(l_extendedprice * (1 - l_discount)
-                             - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+                   round(sum(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE))
+                             - 0.6 * CAST(p_retailprice AS DOUBLE) * CAST(l_quantity AS DOUBLE)), 4) AS sum_profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey

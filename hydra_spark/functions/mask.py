@@ -174,7 +174,29 @@ def freq_mask(
     start = mask_position_expr(
         F.lit(n_mels), F.lit(mask_bands), id_col, salt
     ).cast("int")
-    d = feats.withColumn("mask_band_start", start)
+    # n_mels is caller-supplied; a mismatch vs the actual array length
+    # would silently mis-scope the mask (understated: only a prefix can
+    # ever be masked; overstated: out-of-bounds draws return the row
+    # unmasked). Fail loudly per-row instead: assert_true raises at
+    # execution when any non-null feature array disagrees with n_mels.
+    # NULL arrays pass through (start stays NULL, no mask applied).
+    size_ok = F.col(value_col).isNull() | (
+        F.size(F.col(value_col)) == F.lit(n_mels)
+    )
+    guard = F.assert_true(
+        size_ok,
+        F.concat_ws(
+            " ",
+            F.lit(f"freq_mask: n_mels={n_mels} != actual band count"),
+            F.size(F.col(value_col)).cast("string"),
+            F.lit("for"),
+            F.col(id_col).cast("string"),
+        ),
+    )
+    d = feats.withColumn(
+        "mask_band_start",
+        F.when(guard.isNull() & F.col(value_col).isNotNull(), start),
+    )
     lo = F.col("mask_band_start")
     masked = F.transform(
         F.col(value_col),

@@ -146,3 +146,33 @@ def test_freq_mask_geometry_and_passthrough(spark):
         freq_mask(df, n_mels=n_mels, mask_bands=0)
     with pytest.raises(ValueError):
         freq_mask(df, n_mels=n_mels, mask_bands=9)
+
+
+def test_freq_mask_n_mels_mismatch_fails_loudly(spark):
+    """A caller-supplied n_mels that disagrees with the actual feature
+    array length must raise at execution (silent mis-scoping of the
+    mask is worse than a crash); NULL feature arrays pass through with
+    a NULL mask position."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from hydra_spark.functions.mask import freq_mask
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("mel_db", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+    bad = spark.createDataFrame(
+        [("ok0", [0.0] * 8), ("short", [0.0] * 5)], schema
+    )
+    with pytest.raises(SparkRuntimeException, match="n_mels=8"):
+        freq_mask(bad, n_mels=8, mask_bands=2).collect()
+
+    with_null = spark.createDataFrame(
+        [("ok0", [float(-b) for b in range(8)]), ("isnull", None)], schema
+    )
+    rows = {r["clip_id"]: r for r in freq_mask(with_null, n_mels=8, mask_bands=2).collect()}
+    assert rows["isnull"]["mask_band_start"] is None
+    assert rows["isnull"]["mel_db_masked"] is None
+    assert rows["ok0"]["mask_band_start"] is not None

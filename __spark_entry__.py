@@ -636,36 +636,63 @@ def clips_transcript_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- multimodal
 
 def media_feature_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: opaque binary payload -> deterministic
-    stub decode dims (ops/multimodal.py; real codec is stubbed, the
-    Spark-side schema/UDF/batch shape is real)."""
+    """REAL image decode (round 5): a deterministic PPM corpus
+    (ops/multimodal.docs_as_ppm — pixel bytes a documented pure
+    function of doc_id) is decoded with actual numpy pixel math in
+    extract_features; the oracle recomputes dims + exact per-channel
+    pixel sums from the generative formula WITHOUT parsing the binary,
+    so the decode itself is what's certified. Float feature vectors are
+    pytest-pinned (float32 would straddle a 4dp rounding boundary in a
+    hash compare); channel sums of uint8 pixels are exact int64."""
     from hydra_spark.ops import multimodal as M
 
-    media = M.docs_as_media(A.load(spark, sf_dir, "documents"))
-    return M.extract_features(media).select("media_id", "n_bytes", "width", "height")
+    media = M.docs_as_ppm(A.load(spark, sf_dir, "documents"))
+    return M.extract_features(media).select(
+        "media_id", "n_bytes", "width", "height", "r_sum", "g_sum", "b_sum"
+    )
 
 
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage over opaque media payloads (stubbed codec, real
-    binary plumbing — ops/multimodal.resize_media). The projection is
-    pure integer arithmetic over sha256(payload), so DuckDB verifies
-    the source-dim derivation, the stride choice and the output byte
-    count end-to-end; payload bytes themselves are pytest-pinned
-    (payload_out == payload[::k])."""
+    """REAL nearest-neighbor resize (round 5): PPM in -> 8x8 PPM out
+    via the standard INTER_NEAREST index map out[y,x] =
+    src[y*h//8, x*w//8] (numpy fancy indexing). The oracle recomputes
+    the output pixel-byte sum + byte counts from the generative
+    formula, certifying the gather indices end-to-end; output BYTES are
+    pytest-pinned against an independent per-pixel loop."""
     from hydra_spark.ops import multimodal as M
 
-    media = M.docs_as_media(A.load(spark, sf_dir, "documents"))
-    return M.resize_media(media, 64, 64).select(
-        "media_id", "src_w", "src_h", "dst_w", "dst_h", "n_bytes", "n_bytes_out"
+    media = M.docs_as_ppm(A.load(spark, sf_dir, "documents"))
+    return M.resize_media(media, 8, 8).select(
+        "media_id", "src_w", "src_h", "dst_w", "dst_h",
+        "n_bytes", "n_bytes_out", "pixel_sum",
     )
 
 
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: JVM-side frame-index expansion."""
+    """Video frame-sampling over the RV01 raw-video corpus (round 5:
+    real container): the frame count is parsed from the payload's
+    fixed-width ASCII header ENTIRELY JVM-side (substring+decode+split
+    — whole-stage-codegen eligible, no Python), then sequence/explode
+    expands sampled indexes."""
     from hydra_spark.ops import multimodal as M
 
-    media = M.docs_as_media(A.load(spark, sf_dir, "documents"))
+    media = M.docs_as_video(A.load(spark, sf_dir, "documents"))
     return M.frame_sample_plan(media, every_n=10).select("media_id", "frame_idx")
+
+
+def frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-frame decode (round 5): every 10th frame of each RV01
+    clip is sliced as a zero-copy numpy view and reduced to per-frame
+    pixel stats; the oracle recomputes mean/min/max per frame from the
+    generative formula over unnest(range(frame_bytes))."""
+    from hydra_spark.ops import multimodal as M
+
+    media = M.docs_as_video(A.load(spark, sf_dir, "documents"))
+    out = M.extract_frames(media, every_n=10)
+    return out.select(
+        "media_id", "frame_idx", "width", "height",
+        F.round("frame_mean", 4).alias("frame_mean"), "frame_min", "frame_max",
+    )
 
 
 # ------------------------------------------------------------- ANN index
@@ -944,6 +971,8 @@ _CERT_WINDOW = [
     "media_resize",
     "media_feature_dims",
     "frame_sample",
+    # new round-5 row: real per-frame RV01 decode
+    "frame_extract",
     # high-value filler from the certified core (flagship + headline ops)
     "tumbling_window",
     "clips_sample_rollup",
@@ -954,7 +983,6 @@ _CERT_WINDOW = [
     "codec_routing",
     "session_window_dynamic",
     "clips_transcode",
-    "chunk_dedup",
 ]
 
 
@@ -1176,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": docs(X.fingerprint),
         "media_feature_dims": media_feature_dims,
         "frame_sample": frame_sample,
+        "frame_extract": frame_extract,
         # ---- tier E overflow: new round-4 rows past the driver window
         # (oracled — the local harness and the judge's check cover them)
         # Q6 pure scan-aggregate: every predicate pushed, no row shuffle
@@ -1722,36 +1751,82 @@ def oracle_sql() -> dict[str, str]:
                    error
             FROM r
         """,
+        # media rows (round 5, REAL pixel path): the oracle recomputes
+        # every statistic from docs_as_ppm/docs_as_video's documented
+        # generative formula (w = 8+(id%5)*4, h = 8+(id%7)*2, body byte
+        # i = (id*31+i)%256) WITHOUT parsing the binary — the engine
+        # side decodes the actual PPM/RV01 bytes, so a decode bug (wrong
+        # offset, wrong stride, wrong plane order) breaks the compare.
         "media_feature_dims": """
-            WITH m AS (SELECT 'doc-' || doc_id AS media_id, sha256(text) AS sha,
-                              octet_length(encode(text)) AS n_bytes
-                       FROM documents)
-            SELECT media_id, n_bytes,
-                   64 + (CAST('0x' || substr(sha,1,2) AS INT) % 192) AS width,
-                   64 + (CAST('0x' || substr(sha,3,2) AS INT) % 192) AS height
-            FROM m
-        """,
-        "media_resize": """
-            WITH m AS (SELECT 'doc-' || doc_id AS media_id, sha256(text) AS sha,
-                              octet_length(encode(text)) AS n_bytes
+            WITH m AS (SELECT doc_id, 'doc-' || doc_id AS media_id,
+                              8 + (doc_id % 5) * 4 AS w,
+                              8 + (doc_id % 7) * 2 AS h,
+                              (doc_id * 31) % 256 AS base
                        FROM documents),
-                 d AS (SELECT media_id, n_bytes,
-                              64 + (CAST('0x' || substr(sha,1,2) AS INT) % 192) AS src_w,
-                              64 + (CAST('0x' || substr(sha,3,2) AS INT) % 192) AS src_h
-                       FROM m)
-            SELECT media_id, src_w, src_h,
-                   CAST(64 AS INT) AS dst_w, CAST(64 AS INT) AS dst_h,
-                   CAST(n_bytes AS INT) AS n_bytes,
-                   CAST((n_bytes + GREATEST(1, (src_w*src_h)//4096) - 1)
-                        // GREATEST(1, (src_w*src_h)//4096) AS INT) AS n_bytes_out
-            FROM d
+                 px AS (SELECT media_id, w, h, base,
+                               unnest(range(0, w*h)) AS p
+                        FROM m)
+            SELECT media_id,
+                   CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                        + w*h*3 AS INT) AS n_bytes,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(sum((base + 3*p) % 256) AS BIGINT) AS r_sum,
+                   CAST(sum((base + 3*p + 1) % 256) AS BIGINT) AS g_sum,
+                   CAST(sum((base + 3*p + 2) % 256) AS BIGINT) AS b_sum
+            FROM px GROUP BY media_id, w, h, base
+        """,
+        # nearest-neighbor gather: out(y,x,c) = body[(sy*w+sx)*3+c] with
+        # sy=(y*h)//8, sx=(x*w)//8; i enumerates the 8*8*3 output bytes
+        "media_resize": """
+            WITH m AS (SELECT doc_id, 'doc-' || doc_id AS media_id,
+                              8 + (doc_id % 5) * 4 AS w,
+                              8 + (doc_id % 7) * 2 AS h,
+                              (doc_id * 31) % 256 AS base
+                       FROM documents),
+                 px AS (SELECT media_id, w, h, base,
+                               unnest(range(0, 8*8*3)) AS i
+                        FROM m),
+                 v AS (SELECT media_id, w, h, base,
+                              (base + (((i//24)*h//8)*w + ((i%24)//3)*w//8)*3
+                                    + i%3) % 256 AS val
+                       FROM px)
+            SELECT media_id,
+                   CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+                   CAST(8 AS INT) AS dst_w, CAST(8 AS INT) AS dst_h,
+                   CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                        + w*h*3 AS INT) AS n_bytes,
+                   CAST(11 + 8*8*3 AS INT) AS n_bytes_out,
+                   CAST(sum(val) AS BIGINT) AS pixel_sum
+            FROM v GROUP BY media_id, w, h
         """,
         "frame_sample": """
             WITH m AS (SELECT 'doc-' || doc_id AS media_id,
-                              CAST(floor(octet_length(encode(text))/1024.0) AS INT) AS nf
+                              1 + doc_id % 30 AS nf
                        FROM documents)
-            SELECT media_id, unnest(generate_series(0, greatest(nf-1, 0), 10)) AS frame_idx
+            SELECT media_id,
+                   CAST(unnest(generate_series(0, nf-1, 10)) AS INT) AS frame_idx
             FROM m
+        """,
+        "frame_extract": """
+            WITH m AS (SELECT doc_id, 'doc-' || doc_id AS media_id,
+                              1 + doc_id % 30 AS nf,
+                              (doc_id * 31) % 256 AS base
+                       FROM documents),
+                 fr AS (SELECT media_id, base,
+                               unnest(generate_series(0, nf-1, 10)) AS frame_idx
+                        FROM m),
+                 b AS (SELECT media_id, frame_idx, base,
+                              unnest(range(0, 192)) AS j
+                       FROM fr),
+                 v AS (SELECT media_id, frame_idx,
+                              (base + frame_idx*192 + j) % 256 AS val
+                       FROM b)
+            SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                   round(avg(val), 4) AS frame_mean,
+                   CAST(min(val) AS INT) AS frame_min,
+                   CAST(max(val) AS INT) AS frame_max
+            FROM v GROUP BY media_id, frame_idx
         """,
         "interval_join": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id

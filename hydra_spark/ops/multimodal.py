@@ -1,17 +1,30 @@
-"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+"""Multimodal columns — opaque binary payloads + typed metadata, with a
+REAL pure-numpy pixel path.
 
-Image/audio/video payloads are opaque `binary` columns with a typed
-metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The image/video codec libraries are
-NOT in this container, so the codec call itself is stubbed: with
-``fake=True`` (default) a deterministic hash-derived feature vector is
-produced (schema, partitioning, UDF signature and batch shape are all
-real and tested); with ``fake=False`` the stage raises NotImplementedError
-at the exact point a real decoder (PIL / ffmpeg) would be invoked.
+Image/video payloads are opaque `binary` columns; decode / feature-extract
+/ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages. The
+container formats are public, dependency-free ones a numpy-only
+environment can decode for real:
 
-The audio modality is NOT stubbed — hydra_spark.functions.decode does
-real G.711/PCM decode; this module is the pattern generalized to
-image/video payloads.
+- **PPM (P6)** — `P6\\n{w} {h}\\n255\\n` + w*h*3 raw RGB bytes
+  (netpbm, public spec). Decoded with frombuffer+reshape; features,
+  resize and pixel checksums are real pixel math.
+- **RV01 raw video** — fixed-width 21-byte ASCII header
+  `RV01 %04d %04d %06d\\n` (w, h, n_frames) + n_frames contiguous
+  w*h*3 RGB frames. The fixed-width header lets frame-sampling parse it
+  JVM-side (substring+decode+split — no Python in that plan).
+
+With ``fake=True`` the legacy deterministic sha256 stub runs instead for
+arbitrary payloads (documented fallback for containers this sandbox has
+no codec for — JPEG/MP4 would slot in exactly where decode_ppm is
+called). Unknown containers under the real path become a
+``decode_error`` row, not an exception — at 10^12 rows a bad record is
+quarantined, never a job kill (same convention as functions/decode.py).
+
+Reference parity: the reference pipelines treat payloads as opaque
+Avro ``bytes`` + metadata through ingest/transform/transport
+(ps-dev/hydra core/src/main/scala/hydra/core/ingest/HydraRequest.scala);
+the decode-to-features stage is the driver brief's 2.8b mandate.
 """
 
 from __future__ import annotations
@@ -42,14 +55,69 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
+        # exact int64 per-channel pixel sums (real path only) — the
+        # SQL-oracle-checkable projection of the decode: float features
+        # lose bits to float32, channel sums of uint8 pixels don't
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("g_sum", T.LongType(), True),
+        T.StructField("b_sum", T.LongType(), True),
         T.StructField("decode_error", T.StringType(), True),
     ]
 )
 
+# ------------------------------------------------------------ codecs
+
+_VID_HEADER_LEN = 22  # b"RV01 %04d %04d %06d\n" — fixed width by design
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Raises ValueError on anything
+    that is not a well-formed maxval-255 P6 — callers map that to a
+    decode_error row."""
+    if not payload.startswith(b"P6\n"):
+        raise ValueError("unsupported container")
+    # header = 3 ASCII tokens after the magic: width, height, maxval
+    nl2 = payload.index(b"\n", 3)
+    nl3 = payload.index(b"\n", nl2 + 1)
+    dims = payload[3:nl2].split()
+    if len(dims) != 2 or payload[nl2 + 1 : nl3] != b"255":
+        raise ValueError("bad PPM header")
+    w, h = int(dims[0]), int(dims[1])
+    body = np.frombuffer(payload, dtype=np.uint8, offset=nl3 + 1)
+    if body.size != w * h * 3:
+        raise ValueError(f"truncated PPM: {body.size} != {w * h * 3}")
+    return body.reshape(h, w, 3)
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w, 3) uint8 -> RV01 container."""
+    nf, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    return b"RV01 %04d %04d %06d\n" % (w, h, nf) + frames.tobytes()
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """RV01 -> (n_frames, h, w, 3) uint8."""
+    if not payload.startswith(b"RV01 "):
+        raise ValueError("unsupported container")
+    head = payload[:_VID_HEADER_LEN].decode("ascii")
+    w, h, nf = (int(t) for t in head[5:].split())
+    body = np.frombuffer(payload, dtype=np.uint8, offset=_VID_HEADER_LEN)
+    if body.size != nf * h * w * 3:
+        raise ValueError(f"truncated RV01: {body.size} != {nf * h * w * 3}")
+    return body.reshape(nf, h, w, 3)
+
 
 def _fake_decode(payload: bytes, mime: str):
-    """Deterministic stand-in for the codec call: dims + features derived
-    from a sha256 of the payload. STUB — replace with PIL/ffmpeg decode."""
+    """Deterministic sha256 stand-in for containers with no in-sandbox
+    codec (legacy stub path, kept for fake=True)."""
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -57,42 +125,85 @@ def _fake_decode(payload: bytes, mime: str):
     return width, height, feats
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """payload binary -> (dims, feature vector) over Arrow batches."""
+def _pixel_features(arr: np.ndarray) -> np.ndarray:
+    """Real 16-dim feature vector from (h, w, 3) uint8 — all float64
+    math on exact-integer pixel values, cast to float32 at the end:
+    [r,g,b mean] [r,g,b min] [r,g,b max] [r,g,b std]
+    [luma_mean] [edge energy = mean |horizontal diff| of luma]
+    [aspect w/h] [n_pixels]."""
+    f = arr.astype(np.float64)
+    luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    edge = float(np.abs(np.diff(luma, axis=1)).mean()) if arr.shape[1] > 1 else 0.0
+    h, w = arr.shape[:2]
+    out = np.concatenate(
+        [
+            f.mean(axis=(0, 1)),
+            f.min(axis=(0, 1)),
+            f.max(axis=(0, 1)),
+            f.std(axis=(0, 1)),
+            [luma.mean(), edge, w / h, w * h],
+        ]
+    )
+    return out.astype(np.float32)
+
+
+# ------------------------------------------------------- feature stage
+
+def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """payload binary -> (dims, feature vector) over Arrow batches.
+
+    Default is the REAL path: PPM payloads are decoded with numpy and
+    produce true dims + pixel statistics; unknown containers become
+    decode_error rows (quarantine, not job kill). ``fake=True`` keeps
+    the deterministic sha256 stub for arbitrary payloads."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            null_mask = payloads.isna()
-            if not fake and (~null_mask).any():
-                raise NotImplementedError(
-                    "real image/video decode requires PIL/ffmpeg (not in container); "
-                    "use fake=True for the deterministic stub"
-                )
-            # one column-wise pass; the per-payload codec call (here the
-            # sha256 stub, later PIL/ffmpeg) is the only per-row work
-            decoded = [
-                None if p is None else _fake_decode(bytes(p), m)
-                for p, m in zip(payloads, pdf["mime"])
-            ]
-            out = pd.DataFrame(
+            ids, mimes = pdf["media_id"].values, pdf["mime"].values
+            n = len(pdf)
+            n_bytes = [None] * n
+            width, height = [None] * n, [None] * n
+            feats, errs = [None] * n, [None] * n
+            sums = [[None] * n, [None] * n, [None] * n]
+            # one column-wise pass; the per-payload codec call (numpy
+            # PPM decode, or the sha256 stub) is the only per-row work
+            for i, p in enumerate(pdf["payload"]):
+                if p is None:
+                    errs[i] = "null payload"
+                    continue
+                b = bytes(p)
+                n_bytes[i] = len(b)
+                try:
+                    if fake:
+                        width[i], height[i], feats[i] = _fake_decode(b, mimes[i])
+                    else:
+                        arr = decode_ppm(b)
+                        height[i], width[i] = arr.shape[0], arr.shape[1]
+                        feats[i] = _pixel_features(arr)
+                        for c in range(3):
+                            sums[c][i] = int(arr[:, :, c].sum(dtype=np.int64))
+                except ValueError as e:
+                    errs[i] = str(e)
+            yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].values,
-                    "mime": pdf["mime"].values,
-                    "n_bytes": [None if p is None else len(p) for p in payloads],
-                    "width": [None if d is None else d[0] for d in decoded],
-                    "height": [None if d is None else d[1] for d in decoded],
-                    "features": [None if d is None else d[2] for d in decoded],
-                    "decode_error": [
-                        "null payload" if p is None else None for p in payloads
-                    ],
+                    "media_id": ids,
+                    "mime": mimes,
+                    "n_bytes": n_bytes,
+                    "width": width,
+                    "height": height,
+                    "features": feats,
+                    "r_sum": sums[0],
+                    "g_sum": sums[1],
+                    "b_sum": sums[2],
+                    "decode_error": errs,
                 }
             )
-            yield out
 
     # salt by media_id so one hot mime type cannot skew decode tasks
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
+
+# -------------------------------------------------------- resize stage
 
 RESIZE_SCHEMA = T.StructType(
     [
@@ -103,65 +214,189 @@ RESIZE_SCHEMA = T.StructType(
         T.StructField("dst_h", T.IntegerType(), True),
         T.StructField("n_bytes", T.IntegerType(), True),
         T.StructField("n_bytes_out", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
         T.StructField("payload_out", T.BinaryType(), True),
+        T.StructField("decode_error", T.StringType(), True),
     ]
 )
 
 
-def resize_media(df: DataFrame, dst_w: int = 64, dst_h: int = 64, fake: bool = True) -> DataFrame:
+def resize_media(
+    df: DataFrame, dst_w: int = 64, dst_h: int = 64, fake: bool = False
+) -> DataFrame:
     """payload -> downscaled payload at (dst_w, dst_h), Arrow-batched.
 
-    The codec call is stubbed like extract_features: source dims come
-    from the deterministic sha256 stub, and "resizing" keeps every k-th
-    byte with k = max(1, src_area // dst_area) — a real implementation
-    swaps exactly that line for PIL's resize. The byte plumbing is
-    real (binary in, binary out, n_bytes_out == len(payload_out)), and
-    the whole stage is SQL-checkable end-to-end: dims and output byte
-    counts are pure integer arithmetic over sha256(payload), which the
-    DuckDB oracle recomputes independently (media_resize row)."""
+    Real path (default): PPM in, nearest-neighbor index gather
+    ``out[y, x] = src[y*src_h//dst_h, x*src_w//dst_w]`` (pure numpy
+    fancy indexing — the standard INTER_NEAREST mapping), PPM out.
+    ``pixel_sum`` (exact int sum of the output pixel bytes) +
+    ``n_bytes_out`` make the stage end-to-end SQL-checkable; output
+    bytes themselves are pytest-pinned. fake=True keeps the stride
+    stub (every k-th byte) for arbitrary payloads."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
-                    rows.append((mid, None, None, dst_w, dst_h, None, None, None))
+                    rows.append((mid, None, None, dst_w, dst_h, None, None, None, None, "null payload"))
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real image resize requires PIL (not in container); "
-                        "use fake=True for the deterministic stub"
-                    )
                 b = bytes(p)
-                w, h, _ = _fake_decode(b, "")
-                k = max(1, (w * h) // (dst_w * dst_h))
-                out = b[::k]  # len == ceil(len(b) / k), matching the oracle
-                rows.append((mid, w, h, dst_w, dst_h, len(b), len(out), out))
+                if fake:
+                    w, h, _ = _fake_decode(b, "")
+                    k = max(1, (w * h) // (dst_w * dst_h))
+                    out = b[::k]  # len == ceil(len(b) / k), matching the oracle
+                    rows.append((mid, w, h, dst_w, dst_h, len(b), len(out), None, out, None))
+                    continue
+                try:
+                    src = decode_ppm(b)
+                except ValueError as e:
+                    rows.append((mid, None, None, dst_w, dst_h, len(b), None, None, None, str(e)))
+                    continue
+                h, w = src.shape[:2]
+                ys = (np.arange(dst_h) * h) // dst_h
+                xs = (np.arange(dst_w) * w) // dst_w
+                dst = src[ys][:, xs]
+                out = encode_ppm(dst)
+                rows.append(
+                    (mid, w, h, dst_w, dst_h, len(b), len(out), int(dst.sum()), out, None)
+                )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     return df.mapInPandas(fn, schema=RESIZE_SCHEMA)
 
 
+# ------------------------------------------------- frame-sample stage
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: expands per-clip frame indexes
-    JVM-side (sequence/explode); the per-frame decode would then run in
-    extract_features over the (media_id, frame_idx) grain."""
-    n_frames = (F.length("payload") / 1024).cast("int")  # stub: 1 KiB ≈ 1 frame
+    """Video frame-sampling: expands per-clip frame indexes ENTIRELY
+    JVM-side. RV01's fixed-width header is parsed with
+    substring+decode+split (no Python anywhere in this plan — the whole
+    stage is whole-stage-codegen eligible); non-RV01 payloads fall back
+    to the legacy 1 KiB ≈ 1 frame heuristic. The per-frame decode then
+    runs in extract_frames over the (media_id, frame_idx) grain."""
+    head = F.decode(F.substring("payload", 1, _VID_HEADER_LEN), "US-ASCII")
+    is_vid = F.substring("payload", 1, 5) == F.lit(b"RV01 ")
+    n_frames = F.when(
+        is_vid, F.split(F.trim(head), "\\s+").getItem(3).cast("int")
+    ).otherwise((F.length("payload") / 1024).cast("int"))
     return df.select(
         "media_id",
         "mime",
-        F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))).alias(
-            "frame_idx"
-        ),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
     )
 
 
+def extract_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """RV01 payload -> one row per sampled frame with REAL per-frame
+    pixel stats (mean/min/max over the frame's RGB bytes). The frame
+    slice is a zero-copy numpy view into the payload buffer."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("frame_mean", T.DoubleType(), False),
+            T.StructField("frame_min", T.IntegerType(), False),
+            T.StructField("frame_max", T.IntegerType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "width", "height", "frame_mean", "frame_min", "frame_max")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    frames = decode_video(bytes(p))
+                except ValueError:
+                    continue
+                nf, h, w = frames.shape[:3]
+                for i in range(0, nf, every_n):
+                    fr = frames[i]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame_mean"].append(float(fr.mean(dtype=np.float64)))
+                    out["frame_min"].append(int(fr.min()))
+                    out["frame_max"].append(int(fr.max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------- adapters
+
 def docs_as_media(docs: DataFrame) -> DataFrame:
-    """Adapter: treat documents.text as an opaque payload for plumbing
-    tests in this container (no real image bytes available)."""
+    """Adapter: treat documents.text as an opaque payload (legacy stub
+    plumbing; pairs with fake=True)."""
     return docs.select(
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
+
+
+def docs_as_ppm(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL image corpus: one PPM per doc, derived from
+    doc_id alone by a documented generative formula so a SQL oracle can
+    independently recompute every pixel statistic without parsing the
+    binary:
+
+        w = 8 + (doc_id % 5) * 4        (8..24)
+        h = 8 + (doc_id % 7) * 2        (8..20)
+        byte i of the pixel body = (doc_id*31 + i) % 256
+
+    The ENGINE side never uses the formula — it decodes the actual PPM
+    bytes; only synth + oracle share it. Payload construction is
+    vectorized per row (np.arange over the body)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + (did % 5) * 4, 8 + (did % 7) * 2
+                body = ((did * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                rows.append((f"doc-{did}", encode_ppm(body.reshape(h, w, 3)), "image/x-portable-pixmap"))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
+
+    return docs.select("doc_id").mapInPandas(fn, schema=schema)
+
+
+def docs_as_video(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL video corpus: one RV01 clip per doc —
+    8x8 RGB, n_frames = 1 + doc_id % 30, body byte i =
+    (doc_id*31 + i) % 256 (same formula convention as docs_as_ppm)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 1 + did % 30
+                body = ((did * 31 + np.arange(nf * 8 * 8 * 3)) % 256).astype(np.uint8)
+                rows.append((f"doc-{did}", encode_video(body.reshape(nf, 8, 8, 3)), "video/x-rv01"))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
+
+    return docs.select("doc_id").mapInPandas(fn, schema=schema)

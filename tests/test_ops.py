@@ -97,19 +97,42 @@ def test_bpe_token_counts_matches_python_regex(spark, docs):
 
 
 def test_resize_media_byte_plumbing(spark, docs):
-    """payload_out really is the strided byte subsample the projection
-    advertises (the oracle checks dims/counts; this pins the bytes)."""
+    """fake=True legacy stub: payload_out really is the strided byte
+    subsample the projection advertises."""
     from hydra_spark.ops.multimodal import _fake_decode, docs_as_media, resize_media
 
     media = docs_as_media(docs.limit(20))
     src = {r.media_id: bytes(r.payload) for r in media.collect()}
-    for r in resize_media(media, 64, 64).collect():
+    for r in resize_media(media, 64, 64, fake=True).collect():
         b = src[r.media_id]
         w, h, _ = _fake_decode(b, "")
         k = max(1, (w * h) // 4096)
         assert (r.src_w, r.src_h, r.dst_w, r.dst_h) == (w, h, 64, 64)
         assert bytes(r.payload_out) == b[::k]
         assert r.n_bytes_out == len(b[::k]) and r.n_bytes == len(b)
+
+
+def test_resize_media_real_pixels(spark, docs):
+    """Real path: output PPM bytes equal an independent per-pixel
+    nearest-neighbor loop over the decoded source (the oracle checks
+    pixel_sum/dims; this pins every output byte)."""
+    import numpy as np
+
+    from hydra_spark.ops.multimodal import decode_ppm, docs_as_ppm, resize_media
+
+    media = docs_as_ppm(docs.limit(20))
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for r in resize_media(media, 8, 8).collect():
+        arr = decode_ppm(src[r.media_id])
+        h, w = arr.shape[:2]
+        want = np.zeros((8, 8, 3), dtype=np.uint8)
+        for y in range(8):
+            for x in range(8):
+                want[y, x] = arr[(y * h) // 8, (x * w) // 8]
+        out = decode_ppm(bytes(r.payload_out))
+        assert (r.src_w, r.src_h) == (w, h)
+        assert out.shape == (8, 8, 3) and (out == want).all()
+        assert r.pixel_sum == int(want.sum())
 
 
 def test_dup_clusters_chain_and_unionfind_parity(spark, emb):
@@ -232,26 +255,67 @@ def test_dedup_exact_groups(spark, docs):
 
 
 def test_multimodal_plumbing(spark, docs):
+    """fake=True legacy stub path over arbitrary payloads."""
     from hydra_spark.ops.multimodal import docs_as_media, extract_features, frame_sample_plan
 
     media = docs_as_media(docs.limit(100))
-    feats = extract_features(media).toPandas()
+    feats = extract_features(media, fake=True).toPandas()
     assert len(feats) == 100
     assert feats.decode_error.isna().all()
     assert (feats.width >= 64).all() and (feats.features.map(len) == 16).all()
     # deterministic: same payload -> same features
-    feats2 = extract_features(media).toPandas()
+    feats2 = extract_features(media, fake=True).toPandas()
     assert (feats.sort_values("media_id").width.values == feats2.sort_values("media_id").width.values).all()
     frames = frame_sample_plan(media.limit(5))
     assert frames.count() >= 5
 
 
-def test_multimodal_real_decode_is_stubbed(spark, docs):
-    from hydra_spark.ops.multimodal import docs_as_media, extract_features
+def test_multimodal_real_decode(spark, docs):
+    """Real path: PPM round-trip, pixel features computed from actual
+    decoded pixels, unknown containers quarantined as decode_error rows
+    (never a job kill), video frame slicing correct."""
+    import numpy as np
 
-    media = docs_as_media(docs.limit(2))
-    with pytest.raises(Exception):  # NotImplementedError inside the UDF
-        extract_features(media, fake=False).collect()
+    from hydra_spark.ops.multimodal import (
+        decode_ppm,
+        decode_video,
+        docs_as_media,
+        docs_as_ppm,
+        docs_as_video,
+        encode_ppm,
+        extract_features,
+        extract_frames,
+    )
+
+    # codec round-trip, off the cluster
+    arr = (np.arange(5 * 7 * 3) % 256).astype(np.uint8).reshape(5, 7, 3)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+
+    media = docs_as_ppm(docs.limit(50))
+    src = {r.media_id: decode_ppm(bytes(r.payload)) for r in media.collect()}
+    feats = extract_features(media).toPandas().set_index("media_id")
+    assert feats.decode_error.isna().all()
+    for mid, arr in src.items():
+        r = feats.loc[mid]
+        assert (r.height, r.width) == arr.shape[:2]
+        f = np.array(r.features)
+        assert np.allclose(f[:3], arr.astype(np.float64).mean(axis=(0, 1)), atol=1e-3)
+        assert r.r_sum == int(arr[:, :, 0].sum(dtype=np.int64))
+
+    # non-PPM payloads under the real path -> decode_error, no exception
+    junk = extract_features(docs_as_media(docs.limit(5))).toPandas()
+    assert (junk.decode_error == "unsupported container").all()
+    assert junk.width.isna().all()
+
+    # video: per-frame stats equal a direct slice of the decoded cube
+    vids = docs_as_video(docs.limit(10))
+    cubes = {r.media_id: decode_video(bytes(r.payload)) for r in vids.collect()}
+    got = extract_frames(vids, every_n=10).toPandas()
+    assert len(got) == sum(len(range(0, c.shape[0], 10)) for c in cubes.values())
+    for _, r in got.iterrows():
+        fr = cubes[r.media_id][r.frame_idx]
+        assert r.frame_mean == fr.mean(dtype=np.float64)
+        assert (r.frame_min, r.frame_max) == (fr.min(), fr.max())
 
 
 def test_ivf_materialized_index_parity_and_pruning(spark, emb, tmp_path):

@@ -680,6 +680,77 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(media, every_n=10).select("media_id", "frame_idx")
 
 
+def _ensure_e2e_run(spark: SparkSession) -> str:
+    """Run-once cache of the FULL flagship streaming pipeline (ingest →
+    admission → decode → stream-stream join → window key → normalize →
+    exactly-once MERGE sink with lineage+metrics) over a dedicated
+    n=2000 synth dataset under .data/entry/e2e. Keyed by the dataset's
+    _SUCCESS mtime like every other sidecar; sentinels are appended to
+    COPIES of the stream dirs so the canonical parquet the DuckDB
+    oracle reads stays pristine. files_per_trigger=16 >= the dataset's
+    8 files, so all real data lands in micro-batch 0 (nothing is
+    watermark-dropped) and the sentinel rounds flush the left-outer
+    tail — the output is a deterministic function of the data."""
+    import shutil
+
+    from hydra_spark import pipeline, synth
+
+    root = "/root/repo/.data/entry/e2e"
+    paths = synth.ensure_dataset(spark, root, n=_E2E_N)
+    out_root = os.path.join(root, "flagship_out")
+    stamp = os.path.join(out_root, "_source_mtime")
+    want = str(int(os.path.getmtime(os.path.join(paths["transcripts"], "_SUCCESS"))))
+    if os.path.exists(stamp) and open(stamp).read() == want:
+        return out_root
+    shutil.rmtree(out_root, ignore_errors=True)
+    aud = os.path.join(out_root, "streams", "audio")
+    trs = os.path.join(out_root, "streams", "transcripts")
+    shutil.copytree(paths["audio"], aud)
+    shutil.copytree(paths["transcripts"], trs)
+    q, _sink, _t = pipeline.start_flagship(spark, aud, trs, out_root, files_per_trigger=16)
+    q.processAllAvailable()
+    synth.append_watermark_sentinels(spark, aud, trs)
+    q.processAllAvailable()
+    q.stop()
+    with open(stamp, "w") as f:
+        f.write(want)
+    return out_root
+
+
+_E2E_N = 2000
+
+
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED end-to-end certification row (round 5): every stage of
+    the flagship streaming pipeline in one oracle-checked result —
+    file-replay ingest, admission, vectorized decode (n_samples),
+    watermarked stream-stream interval join ([-10 s, +60 s] transcript
+    tolerance; ~1%% very-late transcripts must surface as NULL), 10 s
+    tumbling window key, transcript normalization, exactly-once keyed
+    MERGE. The DuckDB oracle independently recomputes the whole
+    composition from the pristine source parquet: a LEFT JOIN under the
+    interval predicate + codec byte accounting + the shared SQL
+    normalize. Row count == clip count certifies no loss/dup through
+    the streaming path; each stage is also certified alone by its own
+    row (clips_sample_rollup, interval_join, tumbling_window,
+    clips_transcript_normalize)."""
+    from hydra_spark import pipeline
+
+    out_root = _ensure_e2e_run(spark)
+    out = pipeline.build_tables(out_root)["output"].read(spark)
+    return out.where(~F.col("clip_id").startswith("sentinel")).select(
+        "clip_id",
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "n_samples",
+        "transcript",
+        # epoch ms, not raw timestamp: Spark-written parquet is
+        # UTC-adjusted, so DuckDB reads it tz-aware while toPandas is
+        # naive — integers sidestep the representation mismatch
+        F.unix_millis("transcript_time").alias("transcript_time_ms"),
+        "transcript_norm",
+    )
+
+
 def frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL per-frame decode (round 5): every 10th frame of each RV01
     clip is sliced as a zero-copy numpy view and reduced to per-frame
@@ -971,8 +1042,10 @@ _CERT_WINDOW = [
     "media_resize",
     "media_feature_dims",
     "frame_sample",
-    # new round-5 row: real per-frame RV01 decode
+    # new round-5 rows: real per-frame RV01 decode; the composed
+    # flagship pipeline certified end-to-end as ONE oracle row
     "frame_extract",
+    "pipeline_e2e",
     # high-value filler from the certified core (flagship + headline ops)
     "tumbling_window",
     "clips_sample_rollup",
@@ -982,7 +1055,6 @@ _CERT_WINDOW = [
     "skew_salted_agg",
     "codec_routing",
     "session_window_dynamic",
-    "clips_transcode",
 ]
 
 
@@ -1205,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_dims": media_feature_dims,
         "frame_sample": frame_sample,
         "frame_extract": frame_extract,
+        "pipeline_e2e": pipeline_e2e,
         # ---- tier E overflow: new round-4 rows past the driver window
         # (oracled — the local harness and the judge's check cover them)
         # Q6 pure scan-aggregate: every predicate pushed, no row shuffle
@@ -1806,6 +1879,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    CAST(unnest(generate_series(0, nf-1, 10)) AS INT) AS frame_idx
             FROM m
+        """,
+        # pipeline_e2e: the composed flagship recomputed from the
+        # pristine source streams — LEFT JOIN under the [-10s, +60s]
+        # interval predicate (at most one transcript exists per clip, so
+        # no fan-out; very-late ones fall outside the range exactly like
+        # the engine's watermark drops them), codec byte accounting for
+        # n_samples, 10 s tumbling window key, shared SQL normalize.
+        "pipeline_e2e": """
+            WITH a AS (SELECT clip_id, codec, bytes, event_time
+                       FROM read_parquet('/root/repo/.data/entry/e2e/clips_audio_n2000/*.parquet')),
+                 t AS (SELECT clip_id, transcript, event_time
+                       FROM read_parquet('/root/repo/.data/entry/e2e/transcripts_n2000/*.parquet')),
+                 j AS (SELECT a.clip_id,
+                              CAST(floor(epoch(a.event_time)/10)*10 AS BIGINT) AS window_start_s,
+                              CAST(CASE WHEN a.codec = 'pcm16' THEN octet_length(a.bytes)//2
+                                   ELSE octet_length(a.bytes) END AS INT) AS n_samples,
+                              t.transcript AS transcript,
+                              CAST(epoch_ms(t.event_time) AS BIGINT) AS transcript_time_ms
+                       FROM a LEFT JOIN t ON a.clip_id = t.clip_id
+                         AND t.event_time >= a.event_time - INTERVAL 10 SECOND
+                         AND t.event_time <= a.event_time + INTERVAL 60 SECOND)
+            SELECT clip_id, window_start_s, n_samples, transcript, transcript_time_ms,
+                   trim(regexp_replace(lower(nfc_normalize(transcript)), '\\s+', ' ', 'g')) AS transcript_norm
+            FROM j
         """,
         "frame_extract": """
             WITH m AS (SELECT doc_id, 'doc-' || doc_id AS media_id,

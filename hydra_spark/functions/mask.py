@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from hydra_spark.functions.decode import (
     _binary_views,
     _classify_errors,
-    _ragged_index,
+    _ragged_scatter,
 )
 
 # encoded-zero byte per codec (audio.encode(0)): the scatter fill values
@@ -126,7 +126,7 @@ def time_mask(
                 b = 2 if c == "pcm16" else 1
                 starts = base[rows] + ms[rows] * b
                 seglens = ml[rows] * b
-                out[_ragged_index(starts, seglens)] = zb
+                _ragged_scatter(out, starts, seglens, zb)
 
             offsets = (off - off[0]).astype(np.int32)
             bin_bufs = [None, pa.py_buffer(offsets), pa.py_buffer(out)]

@@ -40,6 +40,7 @@ from hydra_spark.functions.decode import (
     _classify_errors,
     _ragged_gather,
     _ragged_index,
+    _ragged_scatter,
 )
 
 OUT_FIELDS = [
@@ -199,7 +200,7 @@ def resample_clips(
                         y = x[base + i0] * (1.0 - f) + x[base + i1] * f
                         np.clip(y, -1.0, 1.0, out=y)
                         y *= 32767.0
-                        out_i2[_ragged_index(out_heads[r_c], no)] = y.astype("<i2")
+                        _ragged_scatter(out_i2, out_heads[r_c], no, y.astype("<i2"))
 
                 # zero-copy Arrow binary column over the flat pcm16 buffer
                 # (py_buffer wraps the ndarray via the buffer protocol and

@@ -39,7 +39,7 @@ from hydra_spark.functions.decode import (
     _binary_views,
     _classify_errors,
     _ragged_gather,
-    _ragged_index,
+    _ragged_scatter,
 )
 from hydra_spark.functions.resample import _MAX_ROW, _MAX_SLICE
 
@@ -148,8 +148,7 @@ def transcode_clips(
                         gathered = _ragged_gather(data, heads_abs[r_c], s_c)
                         if c == to_codec:
                             # pass-through: copy source bytes verbatim
-                            idx = _ragged_index(out_heads[r_c], s_c)
-                            out_buf[idx] = gathered
+                            _ragged_scatter(out_buf, out_heads[r_c], s_c, gathered)
                             continue
                         if c == "pcm16":
                             x = gathered.view("<i2").astype(np.float32)
@@ -159,8 +158,9 @@ def transcode_clips(
                             x = _LUT[c][gathered]
                             sl = s_c
                         enc = _encode_batch(x, to_codec)
-                        idx = _ragged_index(out_heads[r_c], sl * bytes_per_out)
-                        out_buf[idx] = enc.view(np.uint8)
+                        _ragged_scatter(
+                            out_buf, out_heads[r_c], sl * bytes_per_out, enc.view(np.uint8)
+                        )
 
                 offsets = np.zeros(m + 1, dtype=np.int32)
                 offsets[1:] = np.cumsum(out_bytes[a:b]).astype(np.int32)

@@ -1236,11 +1236,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # accounting + pre-gain dB vs the independent features fixture;
         # bytes parity-checked in pytest vs audio.gain_clip_rms
         "clips_rms_normalize": clips_rms_normalize,
-        # ---- past the 50-entry window from here down: all PASS(r3) in
-        # CORRECTNESS_r03.json. (clips_rms_normalize above is entry
-        # #50, the last driver-certified row — every tier-E insertion
-        # rotates one stable r3-certified row out of the window; verify
-        # with list(queries())[:50] after ANY registry edit.)
+        # ---- the 50-entry certification window is now pinned by
+        # _CERT_WINDOW (applied as the final reorder below), NOT by
+        # dict insertion position — dict order past this point only
+        # affects rows outside the window.
+        # (session_window_dynamic above is entry
+        # #50 — the _CERT_WINDOW tail — the last driver-certified row;
+        # verify with list(queries())[:50] after ANY registry edit.)
         # FULL-outer interval join: orphan rows on BOTH sides (the
         # unmatched-transcript audit of the streaming join contract);
         # past the window with the other late-round-4 additions

@@ -83,9 +83,15 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     decode_error row."""
     if not payload.startswith(b"P6\n"):
         raise ValueError("unsupported container")
-    # header = 3 ASCII tokens after the magic: width, height, maxval
-    nl2 = payload.index(b"\n", 3)
-    nl3 = payload.index(b"\n", nl2 + 1)
+    # header = 3 ASCII tokens after the magic: width, height, maxval.
+    # Search bounded to the first 32 bytes — dims are <=5 digits each, so
+    # a well-formed header always fits; a garbage payload must not cost
+    # an O(n) newline scan before it is rejected.
+    try:
+        nl2 = payload.index(b"\n", 3, 32)
+        nl3 = payload.index(b"\n", nl2 + 1, nl2 + 6)
+    except ValueError:
+        raise ValueError("bad PPM header") from None
     dims = payload[3:nl2].split()
     if len(dims) != 2 or payload[nl2 + 1 : nl3] != b"255":
         raise ValueError("bad PPM header")

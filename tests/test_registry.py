@@ -37,5 +37,10 @@ def test_no_silent_duplicate_keys():
 def test_every_oracle_has_a_query():
     qs, os_ = E.queries(), E.oracle_sql()
     assert not set(os_) - set(qs)
-    # rows-only set is intentional and small; additions must be loud
-    assert set(qs) - set(os_) == {"ann_lsh_topk", "ann_ivf_topk"}
+    # round 5 closed the rows-only gap to zero (ann_lsh_topk/ann_ivf_topk
+    # now output the exact top-k and assert recall engine-side); any new
+    # oracle-less row must be a loud, deliberate decision
+    assert set(qs) - set(os_) == set(), (
+        "rows without an oracle_sql entry — every registry row needs a "
+        f"DuckDB oracle: {set(qs) - set(os_)}"
+    )

@@ -680,39 +680,45 @@ atomic commit.
 """)
 
 
-def _save_pair_sidecars(pairs: list[dict]) -> None:
+def _save_pair_sidecars(pairs: list[dict], base: str = "/root/repo/BENCH") -> None:
     """Persist each measured pair to BENCH/pair_<lo>_<hi>.json so a
     single-pair re-run (chasing a clean host window for one width)
     updates ONLY its own section of BASELINE.md instead of clobbering
     the other pair's latest measurement."""
-    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    os.makedirs(base, exist_ok=True)
     for p in pairs:
         key = f"pair_{p['local_n']['cores']}_{p['local_4n']['cores']}.json"
-        path = os.path.join("/root/repo/BENCH", key)
+        path = os.path.join(base, key)
         # contention guard: BASELINE.md publishes each pair's latest
         # CLEAN-window measurement (protocol section below; HISTORY.md
         # records every run unconditionally). A run that (a) fails the
         # gate an existing sidecar passed AND (b) measured a LOWER
-        # memory-bandwidth ceiling than that sidecar's run was measured
-        # inside a dirtier host window — keeping it would replace a
-        # clean measurement with a contention artifact.
+        # ceiling on EITHER contention axis (CPU or memory bandwidth)
+        # than that sidecar's run was measured inside a dirtier host
+        # window — keeping it would replace a clean measurement with a
+        # contention artifact. Both axes must be checked: one can read
+        # clean while the other is degraded (a depressed lo-width copy
+        # rate inflates the bw RATIO while the CPU ceiling collapses).
         if os.path.exists(path):
             with open(path) as f:
                 prev = json.load(f)
             prev_eff = prev.get("scaling_efficiency", 0.0)
             prev_bw = prev.get("bw_control", {}).get("bw_scaling_efficiency", 0.0)
             new_bw = p.get("bw_control", {}).get("bw_scaling_efficiency", 0.0)
+            prev_cpu = prev.get("cpu_control", {}).get("hw_scaling_efficiency", 0.0)
+            new_cpu = p.get("cpu_control", {}).get("hw_scaling_efficiency", 0.0)
             # a gate-passing run is always accepted; a failing run
             # replaces the sidecar only if it IMPROVES on it or was
-            # measured in a window at least as clean (same-or-higher bw
-            # ceiling) — a worse ratio from a dirtier window is a
-            # contention artifact, not evidence
+            # measured in a window at least as clean on BOTH axes —
+            # a worse ratio from a dirtier window is a contention
+            # artifact, not evidence
             if (p["scaling_efficiency"] < EFF_TARGET
                     and p["scaling_efficiency"] < prev_eff
-                    and new_bw < prev_bw):
+                    and (new_bw < prev_bw or new_cpu < prev_cpu)):
                 print(f"[sidecar] keeping {key}: new eff "
-                      f"{p['scaling_efficiency']} < {EFF_TARGET} with bw ceiling "
-                      f"{new_bw} < prior {prev_bw} (dirtier window); "
+                      f"{p['scaling_efficiency']} < {EFF_TARGET} with ceilings "
+                      f"bw {new_bw} vs prior {prev_bw}, cpu {new_cpu} vs prior "
+                      f"{prev_cpu} (dirtier window on at least one axis); "
                       f"run still appended to HISTORY.md", flush=True)
                 continue
         tmp = path + ".tmp"  # atomic: a kill mid-dump must not leave

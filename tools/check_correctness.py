@@ -89,8 +89,19 @@ def main():
     import __spark_entry__ as E
     from hydra_spark.session import get_spark
 
-    only = set(sys.argv[1:])
-    spark = get_spark(cores=16, app_name="check")
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    only = {a for a in args if not a.startswith("--")}
+    if vanilla:
+        # mimic the driver's environment: a DEFAULT SparkSession with none
+        # of the repo session's confs (this is what exposed the INT96
+        # parquet-footer-stats portability bug in round 4)
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[16]")
+                 .appName("check-vanilla").getOrCreate())
+    else:
+        spark = get_spark(cores=16, app_name="check")
     con = duck_con()
     qs, os_ = E.queries(), E.oracle_sql()
     n_pass = n_fail = 0

@@ -821,6 +821,24 @@ def main() -> None:
                 }
                 for p in pairs
             ],
+            # the sidecar-merged clean-window marks BASELINE.md publishes
+            # (this run's numbers above are kept out of the sidecar when
+            # measured in a dirtier host window — see _save_pair_sidecars);
+            # host contention moves identical runs ±50%, so a single run's
+            # ratio only means something next to its same-run ceilings
+            "banked": [
+                {
+                    "cores_n": p["local_n"]["cores"],
+                    "cores_4n": p["local_4n"]["cores"],
+                    "clips_n": p["clips_n"],
+                    "clips_per_sec_n": p["local_n"]["clips_per_sec"],
+                    "clips_per_sec_4n": p["local_4n"]["clips_per_sec"],
+                    "scaling_efficiency": p["scaling_efficiency"],
+                    "hw_ceiling_efficiency": p["cpu_control"]["hw_scaling_efficiency"],
+                    "bw_ceiling_efficiency": p["bw_control"]["bw_scaling_efficiency"],
+                }
+                for p in _load_pair_sidecars()
+            ],
         }
 
     result["bench_wall_s"] = round(time.time() - t_all, 1)

@@ -751,6 +751,72 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def http_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE HTTP entry point certified end-to-end (round 5): the
+    reference's primary entry point is ``POST /v2/topics/{topic}/records``
+    (ingest/src/main/scala/hydra.ingest/http/IngestionEndpoint.scala:52-76)
+    — this row drives hydra_spark.http_flow's real ThreadingHTTPServer
+    over TCP with deterministic fixture traffic derived from orders
+    (one request per o_orderkey % 50 == 0; rule order mirrors the
+    admission order: %7 -> missing key 400, %11 -> malformed 400,
+    %13 -> oversize 413, else 200), reads the spool back and re-verdicts
+    every request through the distributed admission path. The oracle
+    recomputes both expected statuses from the same generative rules in
+    SQL — a wrong verdict from EITHER the synchronous handler or the
+    engine (or a lost/duplicated request) changes a value or the row
+    count."""
+    import tempfile
+    import urllib.error
+    import urllib.request
+
+    from hydra_spark import http_flow
+
+    ks = (
+        A.load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    spool = tempfile.mkdtemp(prefix="http_ingest_")
+    server = http_flow.IngestHttpServer(spool, key_path="$.k", max_bytes=64)
+    try:
+        for r in ks:
+            k, c = int(r["o_orderkey"]), int(r["o_custkey"])
+            if k % 7 == 0:
+                body = '{"v": %d}' % c
+            elif k % 11 == 0:
+                body = '{"k": "%d", "v": ' % k
+            elif k % 13 == 0:
+                body = '{"k": "%d", "pad": "%s"}' % (k, "x" * 100)
+            else:
+                body = '{"k": "%d", "v": %d}' % (k, c)
+            req = urllib.request.Request(
+                f"{server.address}/v2/topics/clips/records",
+                data=body.encode(),
+                headers={"hydra-correlation-id": str(k)},
+                method="POST",
+            )
+            try:
+                urllib.request.urlopen(req, timeout=10).read()
+            except urllib.error.HTTPError as e:  # 4xx IS the answer
+                e.read()
+        server.flush()
+        par = http_flow.status_parity(
+            http_flow.requests_batch(spark, spool),
+            "k STRING, v INT",
+            key_path="$.k",
+            max_bytes=64,
+        )
+        return par.select(
+            F.col("correlation_id").cast("long").alias("corr_key"),
+            "http_status",
+            "engine_status",
+            "agree",
+        )
+    finally:
+        server.close()
+
+
 def frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL per-frame decode (round 5): every 10th frame of each RV01
     clip is sliced as a zero-copy numpy view and reduced to per-frame
@@ -1280,6 +1346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": frame_sample,
         "frame_extract": frame_extract,
         "pipeline_e2e": pipeline_e2e,
+        # LIVE HTTP entry point (S1/S2 live form): real TCP requests
+        # against http_flow's server, handler + engine verdicts both
+        # certified against the SQL-derived expected statuses
+        "http_ingest_live": http_ingest_live,
         # ---- tier E overflow: new round-4 rows past the driver window
         # (oracled — the local harness and the judge's check cover them)
         # Q6 pure scan-aggregate: every predicate pushed, no row shuffle
@@ -1905,6 +1975,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, window_start_s, n_samples, transcript, transcript_time_ms,
                    trim(regexp_replace(lower(nfc_normalize(transcript)), '\\s+', ' ', 'g')) AS transcript_norm
             FROM j
+        """,
+        # http_ingest_live: the expected status per request recomputed
+        # from the same generative rules (%7 missing key, %11 malformed,
+        # %13 oversize — rule order = admission order) — BOTH the
+        # synchronous handler verdict and the distributed engine verdict
+        # must land on it, and agree must be 1 everywhere
+        "http_ingest_live": """
+            WITH r AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 50 = 0),
+                 v AS (SELECT k,
+                              CASE WHEN k % 7 = 0 THEN 400
+                                   WHEN k % 11 = 0 THEN 400
+                                   WHEN k % 13 = 0 THEN 413
+                                   ELSE 200 END AS expected
+                       FROM r)
+            SELECT CAST(k AS BIGINT) AS corr_key,
+                   CAST(expected AS INT) AS http_status,
+                   CAST(expected AS INT) AS engine_status,
+                   CAST(1 AS INT) AS agree
+            FROM v
         """,
         "frame_extract": """
             WITH m AS (SELECT doc_id, 'doc-' || doc_id AS media_id,

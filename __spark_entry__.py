@@ -817,6 +817,53 @@ def http_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         server.close()
 
 
+def avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro binary wire format certified distributed (round 5): orders
+    rows are serialized to Confluent-framed Avro binary
+    (functions/avro_wire.py — the reference's GenericRecord wire layer,
+    avro/src/main/scala/hydra/avro/convert/StringToGenericRecord.scala:74-85)
+    and decoded back inside the same plan. The output carries the
+    decoded values PLUS the measured wire length per record; the oracle
+    recomputes both independently — the values from orders directly
+    (round-trip identity) and the exact byte length from the Avro spec
+    arithmetic (5-byte framing + zigzag-varint widths + fixed double +
+    union branch). A single mis-encoded varint, wrong union branch, or
+    dropped/failed record changes a value or the row count. Golden-byte
+    spec compliance is pinned in tests/test_avro_wire.py."""
+    import json as _json
+
+    from hydra_spark.functions import avro_wire as W
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "Order",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "status", "type": "string"},
+                {"name": "price", "type": "double"},
+                {"name": "note", "type": ["null", "string"]},
+            ],
+        }
+    )
+    src = A.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.when(
+            F.col("o_orderkey") % 3 != 0,
+            F.concat(F.lit("note-"), F.col("o_custkey").cast("string")),
+        ).alias("note"),
+    )
+    enc = W.encode_records(
+        src, schema, ["k", "status", "price", "note"], confluent_id=101
+    ).select(F.col("avro"), F.length("avro").alias("n_bytes"))
+    dec = W.decode_records(enc, schema, keep_cols=["n_bytes"], confluent_id=101)
+    return dec.where(F.col("decode_error").isNull()).select(
+        "k", "status", "price", "note", "n_bytes"
+    )
+
+
 def frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL per-frame decode (round 5): every 10th frame of each RV01
     clip is sliced as a zero-copy numpy view and reduced to per-frame
@@ -1350,6 +1397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against http_flow's server, handler + engine verdicts both
         # certified against the SQL-derived expected statuses
         "http_ingest_live": http_ingest_live,
+        # Avro binary wire format: Confluent-framed encode+decode in one
+        # plan; values AND exact spec-arithmetic byte length oracled
+        "avro_wire_roundtrip": avro_wire_roundtrip,
         # ---- tier E overflow: new round-4 rows past the driver window
         # (oracled — the local harness and the judge's check cover them)
         # Q6 pure scan-aggregate: every predicate pushed, no row shuffle
@@ -1993,6 +2043,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(expected AS INT) AS http_status,
                    CAST(expected AS INT) AS engine_status,
                    CAST(1 AS INT) AS agree
+            FROM v
+        """,
+        # avro_wire_roundtrip: round-trip identity from orders directly;
+        # wire length recomputed from Avro spec arithmetic — 5 framing
+        # bytes + varint(zigzag(k)) + varint(2*len)+len per string +
+        # 8 (double) + 1 (union branch) + optional note body
+        "avro_wire_roundtrip": """
+            WITH r AS (
+              SELECT o_orderkey AS k, o_orderstatus AS status,
+                     CAST(o_totalprice AS DOUBLE) AS price,
+                     CASE WHEN o_orderkey % 3 <> 0 THEN 'note-' || o_custkey END AS note
+              FROM orders),
+            v AS (
+              SELECT *,
+                CASE WHEN 2*k < 128 THEN 1 WHEN 2*k < 16384 THEN 2
+                     WHEN 2*k < 2097152 THEN 3 WHEN 2*k < 268435456 THEN 4
+                     ELSE 5 END AS klen,
+                strlen(status) AS slen,
+                CASE WHEN note IS NULL THEN 0 ELSE strlen(note) END AS nlen
+              FROM r)
+            SELECT k, status, price, note,
+                   CAST(5 + klen
+                      + CASE WHEN 2*slen < 128 THEN 1 WHEN 2*slen < 16384 THEN 2 ELSE 3 END + slen
+                      + 8 + 1
+                      + CASE WHEN note IS NULL THEN 0
+                             WHEN 2*nlen < 128 THEN 1 WHEN 2*nlen < 16384 THEN 2
+                             ELSE 3 END
+                      + nlen AS INT) AS n_bytes
             FROM v
         """,
         "frame_extract": """

@@ -1,0 +1,161 @@
+"""Avro binary wire format: golden bytes from the spec, round-trip
+properties, corrupt-payload quarantine, Confluent framing."""
+
+import json
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from hydra_spark.functions import avro_wire as W
+
+SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "status", "type": "string"},
+            {"name": "price", "type": "double"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+)
+DESC = W.parse_schema(SCHEMA)
+
+
+# ------------------------------------------------------- golden bytes
+
+def test_golden_zigzag_varints():
+    # spec examples: 0->00, -1->01, 1->02, -2->03, 2->04, -64->7f, 64->80 01
+    cases = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+             2: b"\x04", -64: b"\x7f", 64: b"\x80\x01"}
+    d = W._norm("long")
+    for v, want in cases.items():
+        out = bytearray()
+        W._encode_value(out, d, v)
+        assert bytes(out) == want, v
+        assert W._decode_value(W._Reader(want), d) == v
+
+
+def test_golden_record():
+    # k=1 -> 02 ; status="AB" -> 04 41 42 ; price=1.0 -> 8 LE bytes ;
+    # note=null -> union branch 0 -> 00
+    b = W.encode_record(DESC, {"k": 1, "status": "AB", "price": 1.0, "note": None})
+    assert b == b"\x02\x04AB" + struct.pack("<d", 1.0) + b"\x00"
+    # note="x" -> branch 1 (02) + string "x" (02 78)
+    b2 = W.encode_record(DESC, {"k": 1, "status": "", "price": 0.0, "note": "x"})
+    assert b2 == b"\x02\x00" + struct.pack("<d", 0.0) + b"\x02\x02x"
+
+
+def test_golden_array_and_bool():
+    d = W._norm({"type": "array", "items": "int"})
+    out = bytearray()
+    W._encode_value(out, d, [3, -3])
+    # block count 2 -> 04 ; 3 -> 06 ; -3 -> 05 ; end 00
+    assert bytes(out) == b"\x04\x06\x05\x00"
+    assert W._decode_value(W._Reader(bytes(out)), d) == [3, -3]
+    # negative block count with byte size (writer variant) decodes too
+    alt = b"\x03\x04\x06\x05\x00"  # count=-2, size=2, items, end
+    assert W._decode_value(W._Reader(alt), d) == [3, -3]
+    db = W._norm("boolean")
+    ob = bytearray()
+    W._encode_value(ob, db, True)
+    assert bytes(ob) == b"\x01"
+
+
+def test_roundtrip_unicode_bytes_nested():
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "N",
+            "fields": [
+                {"name": "s", "type": "string"},
+                {"name": "b", "type": "bytes"},
+                {"name": "xs", "type": {"type": "array", "items": "double"}},
+                {
+                    "name": "inner",
+                    "type": {
+                        "type": "record",
+                        "name": "I",
+                        "fields": [{"name": "v", "type": ["null", "long"]}],
+                    },
+                },
+            ],
+        }
+    )
+    desc = W.parse_schema(schema)
+    row = {"s": "héllo ✓", "b": b"\x00\xff\x10", "xs": [1.5, -2.25, 0.0],
+           "inner": {"v": -7}}
+    assert W.decode_record(desc, W.encode_record(desc, row)) == row
+    row2 = {"s": "", "b": b"", "xs": [], "inner": {"v": None}}
+    assert W.decode_record(desc, W.encode_record(desc, row2)) == row2
+
+
+def test_corrupt_payloads_raise_value_error():
+    good = W.encode_record(DESC, {"k": 5, "status": "ok", "price": 2.5, "note": None})
+    for bad in (good[:-1], good[:3], b"", good + b"\x00", b"\xff" * 12):
+        with pytest.raises(ValueError):
+            W.decode_record(DESC, bad)
+
+
+def test_confluent_framing():
+    row = {"k": 9, "status": "s", "price": 1.0, "note": None}
+    framed = W.encode_record(DESC, row, confluent_id=42)
+    assert framed[:5] == b"\x00\x00\x00\x00\x2a"
+    assert W.decode_record(DESC, framed, confluent_id=42) == row
+    with pytest.raises(ValueError, match="schema id mismatch"):
+        W.decode_record(DESC, framed, confluent_id=43)
+    with pytest.raises(ValueError, match="magic"):
+        W.decode_record(DESC, b"\x01" + framed[1:], confluent_id=42)
+
+
+def test_logical_types_ride_base():
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "L",
+            "fields": [
+                {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+                {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+            ],
+        }
+    )
+    desc = W.parse_schema(schema)
+    row = {"ts": 1735689600000000, "u": "de305d54-75b4-431b-adb2-eb6b9e546014"}
+    assert W.decode_record(desc, W.encode_record(desc, row)) == row
+
+
+# --------------------------------------------------- distributed stages
+
+def test_spark_roundtrip_and_quarantine(spark):
+    src = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("status"),
+        (F.col("id") * 1.25).alias("price"),
+        F.when(F.col("id") % 3 == 0, F.concat(F.lit("n"), F.col("id").cast("string"))).alias("note"),
+    )
+    enc = W.encode_records(src, SCHEMA, ["k", "status", "price", "note"], confluent_id=7)
+    # corrupt every 10th payload by truncating it
+    wire = enc.select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.expr("substring(avro, 1, 4)"))
+        .otherwise(F.col("avro"))
+        .alias("avro"),
+    )
+    dec = W.decode_records(
+        wire.withColumnRenamed("k", "orig_k"),
+        SCHEMA,
+        keep_cols=["orig_k"],
+        confluent_id=7,
+    )
+    rows = {r["orig_k"]: r for r in dec.collect()}
+    assert len(rows) == 200
+    for k, r in rows.items():
+        if k % 10 == 0:
+            assert r["decode_error"] is not None and r["k"] is None
+        else:
+            assert r["decode_error"] is None
+            assert r["k"] == k and r["status"] == f"s{k % 7}"
+            assert r["price"] == k * 1.25
+            assert r["note"] == (f"n{k}" if k % 3 == 0 else None)

@@ -248,6 +248,12 @@ def _decode_value(r: _Reader, d):
                 # byte size (spec) — size is read and skipped
                 r.varint()
                 count = -count
+            if count > r.n - r.i + 1:
+                # every supported item type consumes >= 1 byte, so a
+                # block count beyond the remaining bytes is corrupt —
+                # reject BEFORE allocating/looping (a forged 2^50 count
+                # must be a quarantine row, not an OOM or a hang)
+                raise ValueError(f"array block count {count} exceeds remaining bytes")
             for _ in range(count):
                 out.append(_decode_value(r, d[1]))
     # record

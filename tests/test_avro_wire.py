@@ -159,3 +159,59 @@ def test_spark_roundtrip_and_quarantine(spark):
             assert r["k"] == k and r["status"] == f"s{k % 7}"
             assert r["price"] == k * 1.25
             assert r["note"] == (f"n{k}" if k % 3 == 0 else None)
+
+
+# ------------------------------------------------------ property tests
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ROWS = st.fixed_dictionaries(
+    {
+        "k": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "status": st.text(max_size=40),
+        "price": st.floats(allow_nan=False, allow_infinity=True, width=64),
+        "note": st.none() | st.text(max_size=40),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ROWS)
+def test_prop_roundtrip_identity(row):
+    assert W.decode_record(DESC, W.encode_record(DESC, row)) == row
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=64))
+def test_prop_garbage_never_escapes_value_error(payload):
+    # decode of arbitrary bytes must either produce a record or raise
+    # ValueError (the quarantine contract) — never IndexError/OverflowError/
+    # UnicodeDecodeError or an infinite loop
+    try:
+        W.decode_record(DESC, payload)
+    except ValueError:
+        pass
+
+
+_ARR_DESC = W.parse_schema(json.dumps(
+    {"type": "record", "name": "A",
+     "fields": [{"name": "xs", "type": {"type": "array", "items": "int"}}]}
+))
+
+
+def test_forged_array_count_rejected_fast():
+    # count zigzag-encoded 2^50 followed by nothing: must be ValueError,
+    # not a 2^50-iteration loop or allocation
+    forged = bytearray()
+    W._w_varint(forged, W._zigzag(1 << 50))
+    with pytest.raises(ValueError, match="block count"):
+        W.decode_record(_ARR_DESC, bytes(forged))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=64))
+def test_prop_array_garbage_never_escapes(payload):
+    try:
+        W.decode_record(_ARR_DESC, payload)
+    except ValueError:
+        pass

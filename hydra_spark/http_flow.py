@@ -49,6 +49,15 @@ from hydra_spark.ingest_flow import BAD_REQUEST, OK, TOO_LARGE, ingest_requests
 
 _PATH_RE = re.compile(r"^/v2/topics/([A-Za-z0-9._-]+)/records$")
 
+# Absolute wire-size ceiling, enforced BEFORE the body is read: a forged
+# multi-GB Content-Length must not buffer unbounded memory in the
+# handler thread (same adversarial-input class as the Avro decoder's
+# forged block counts — see functions/avro_wire.py). Requests refused
+# here are never spooled, so the parity certification row is unaffected;
+# the configured per-record ``max_bytes`` (reference semantics,
+# RecordTooLarge after decode) still runs through spool + parity.
+MAX_WIRE_BYTES = 64 * 1024 * 1024
+
 # spool line schema (what the server writes, what Spark reads)
 SPOOL_SCHEMA = (
     "correlation_id STRING, topic STRING, payload STRING, "
@@ -123,7 +132,22 @@ class IngestHttpServer:
                     self.send_response(404)
                     self.end_headers()
                     return
-                n = int(self.headers.get("Content-Length") or 0)
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    n = -1
+                if n < 0:
+                    self.close_connection = True
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                if n > MAX_WIRE_BYTES:
+                    # refuse before reading — and close: the client is
+                    # still mid-send, so the connection can't be reused
+                    self.close_connection = True
+                    self.send_response(413)
+                    self.end_headers()
+                    return
                 body = self.rfile.read(n).decode("utf-8", errors="replace")
                 corr = self.headers.get("hydra-correlation-id") or uuid.uuid4().hex[:12]
                 status = _sync_verdict(body, outer.key_path, outer.max_bytes)

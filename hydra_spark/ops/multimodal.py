@@ -205,7 +205,9 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 }
             )
 
-    # salt by media_id so one hot mime type cannot skew decode tasks
+    # partitioning is inherited from the input scan (uniform for the
+    # synth corpora); a mime-skewed source should repartition by
+    # media_id BEFORE this stage — the map itself never shuffles
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 

@@ -113,6 +113,34 @@ def test_streaming_tail(spark, server, tmp_path):
     assert got.select("correlation_id").distinct().count() == 8
 
 
+def test_wire_cap_refused_before_read(tmp_path):
+    """A forged multi-GB Content-Length is answered 413 WITHOUT reading
+    (the tiny actual body would block a full read forever), and a
+    malformed length header gets 400 — neither request is spooled."""
+    import glob
+    import http.client
+
+    s = http_flow.IngestHttpServer(str(tmp_path / "sp"), auto_flush_every=1)
+    try:
+        for hdr, want in [(str(http_flow.MAX_WIRE_BYTES + 1), 413), ("nope", 400)]:
+            c = http.client.HTTPConnection(
+                s.address.removeprefix("http://"), timeout=10
+            )
+            c.putrequest("POST", "/v2/topics/clips/records")
+            c.putheader("Content-Length", hdr)
+            c.endheaders()
+            c.send(b"{}")  # far short of the claimed length
+            assert c.getresponse().status == want
+            c.close()
+        s.flush()
+        assert not glob.glob(str(tmp_path / "sp" / "*.json"))
+        # the server is still healthy for normal traffic afterwards
+        st, _ = _post(s.address, '{"a": 1}')
+        assert st == 200
+    finally:
+        s.close()
+
+
 def test_auto_flush(tmp_path):
     s = http_flow.IngestHttpServer(str(tmp_path / "sp"), auto_flush_every=2)
     try:

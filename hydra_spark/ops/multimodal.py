@@ -96,6 +96,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if len(dims) != 2 or payload[nl2 + 1 : nl3] != b"255":
         raise ValueError("bad PPM header")
     w, h = int(dims[0]), int(dims[1])
+    if w <= 0 or h <= 0:
+        # netpbm dims are positive integers; a 0x0 payload would decode
+        # to an empty array whose feature/resize math divides by the
+        # height — reject here so it quarantines as a decode_error row
+        raise ValueError(f"bad PPM dims {w}x{h}")
     body = np.frombuffer(payload, dtype=np.uint8, offset=nl3 + 1)
     if body.size != w * h * 3:
         raise ValueError(f"truncated PPM: {body.size} != {w * h * 3}")
@@ -115,6 +120,10 @@ def decode_video(payload: bytes) -> np.ndarray:
         raise ValueError("unsupported container")
     head = payload[:_VID_HEADER_LEN].decode("ascii")
     w, h, nf = (int(t) for t in head[5:].split())
+    if w <= 0 or h <= 0 or nf < 0:
+        # zero-area frames make per-frame stats (min/max of an empty
+        # slice) raise mid-stage; nf == 0 (a clip with no frames) is fine
+        raise ValueError(f"bad RV01 dims {w}x{h}x{nf}")
     body = np.frombuffer(payload, dtype=np.uint8, offset=_VID_HEADER_LEN)
     if body.size != nf * h * w * 3:
         raise ValueError(f"truncated RV01: {body.size} != {nf * h * w * 3}")

@@ -318,6 +318,33 @@ def test_multimodal_real_decode(spark, docs):
         assert (r.frame_min, r.frame_max) == (fr.min(), fr.max())
 
 
+def test_multimodal_degenerate_dims_quarantined(spark):
+    """Zero/negative-dim headers must become decode_error rows, never a
+    task kill: a 0x0 P6 used to pass the decoder and then divide by the
+    height inside _pixel_features (ZeroDivisionError mid-stage)."""
+    import pytest
+
+    from hydra_spark.ops.multimodal import (
+        decode_ppm, decode_video, extract_features, resize_media,
+    )
+
+    for bad in [b"P6\n0 0\n255\n", b"P6\n-5 -5\n255\n" + b"\x00" * 75]:
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+    with pytest.raises(ValueError):
+        decode_video(b"RV01 0000 0004 000001\n")
+    decode_video(b"RV01 0004 0004 000000\n")  # zero FRAMES is legal
+
+    media = spark.createDataFrame(
+        [("m0", bytearray(b"P6\n0 0\n255\n"), "image/x-portable-pixmap", None)],
+        schema="media_id string, payload binary, mime string, meta map<string,string>",
+    )
+    feats = extract_features(media).collect()
+    assert len(feats) == 1 and feats[0].decode_error == "bad PPM dims 0x0"
+    rs = resize_media(media, 4, 4).collect()
+    assert len(rs) == 1 and rs[0].decode_error == "bad PPM dims 0x0"
+
+
 def test_ivf_materialized_index_parity_and_pruning(spark, emb, tmp_path):
     """The pre-materialized inverted file must return exactly ivf_topk's
     results, prune the scan to the probe lists, and reject queries whose

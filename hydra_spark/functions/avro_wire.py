@@ -133,7 +133,10 @@ def _w_varint(out: bytearray, n: int) -> None:
 def _encode_value(out: bytearray, d, v) -> None:
     kind = d[0]
     if kind == "union_null":
-        if v is None:
+        # pandas/Arrow collapses SQL NULL in nullable numeric columns to
+        # float NaN; treat NaN as the null branch so a NULL long never
+        # crashes int() and a NULL double never round-trips as NaN
+        if v is None or (isinstance(v, float) and v != v):
             _w_varint(out, _zigzag(d[2]))
             return
         _w_varint(out, _zigzag(1 - d[2]))
@@ -150,7 +153,11 @@ def _encode_value(out: bytearray, d, v) -> None:
         elif t == "boolean":
             out.append(1 if v else 0)
         elif t in ("int", "long"):
-            _w_varint(out, _zigzag(int(v)))
+            iv = int(v)
+            lo_bits = 31 if t == "int" else 63
+            if not -(1 << lo_bits) <= iv < (1 << lo_bits):
+                raise ValueError(f"{t} field out of range: {iv}")
+            _w_varint(out, _zigzag(iv))
         elif t == "float":
             out += struct.pack("<f", float(v))
         elif t == "double":
@@ -200,6 +207,11 @@ class _Reader:
             self.i += 1
             acc |= (byte & 0x7F) << shift
             if not byte & 0x80:
+                # a 10-byte varint can accumulate up to ~2^70; anything
+                # past 64 bits is forged and must quarantine, not reach
+                # Arrow as an unrepresentable Python int (job kill)
+                if acc >> 64:
+                    raise ValueError("varint overflows 64 bits")
                 return _unzigzag(acc)
             shift += 7
             if shift > 63:
@@ -229,7 +241,10 @@ def _decode_value(r: _Reader, d):
         if t == "boolean":
             return r.take(1)[0] == 1
         if t in ("int", "long"):
-            return r.varint()
+            v = r.varint()
+            if t == "int" and not -(1 << 31) <= v < (1 << 31):
+                raise ValueError(f"int field out of int32 range: {v}")
+            return v
         if t == "float":
             return struct.unpack("<f", r.take(4))[0]
         if t == "double":
@@ -287,16 +302,29 @@ def encode_records(
     """cols -> one Avro-binary column per row (wire-boundary stage)."""
     desc = parse_schema(schema_json)
     out_schema = T.StructType(
-        [df.schema[c] for c in cols] + [T.StructField(out_col, T.BinaryType(), True)]
+        [df.schema[c] for c in cols]
+        + [
+            T.StructField(out_col, T.BinaryType(), True),
+            T.StructField("encode_error", T.StringType(), True),
+        ]
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = pdf[cols].to_dict("records")
             out = pdf[cols].copy()
-            out[out_col] = [
-                encode_record(desc, rec, confluent_id) for rec in recs
-            ]
+            payloads, errs = [], []
+            for rec in recs:
+                # skip-and-count, never a job kill: a row the schema
+                # cannot represent becomes an encode_error row
+                try:
+                    payloads.append(encode_record(desc, rec, confluent_id))
+                    errs.append(None)
+                except ValueError as e:
+                    payloads.append(None)
+                    errs.append(str(e))
+            out[out_col] = payloads
+            out["encode_error"] = errs
             yield out
 
     return df.mapInPandas(fn, schema=out_schema)
@@ -314,6 +342,11 @@ def decode_records(
     desc = parse_schema(schema_json)
     keep_cols = keep_cols or []
     rec_fields = spark_schema(desc).fields
+    clash = set(keep_cols) & ({f.name for f in rec_fields} | {"decode_error"})
+    if clash:
+        # a keep_col sharing a decoded field's name would be silently
+        # clobbered by the decoded values; force the caller to rename
+        raise ValueError(f"keep_cols collide with decoded fields: {sorted(clash)}")
     out_schema = T.StructType(
         [df.schema[c] for c in keep_cols]
         + [T.StructField(f.name, f.dataType, True) for f in rec_fields]

@@ -49,6 +49,12 @@ from hydra_spark.ingest_flow import BAD_REQUEST, OK, TOO_LARGE, ingest_requests
 
 _PATH_RE = re.compile(r"^/v2/topics/([A-Za-z0-9._-]+)/records$")
 
+# the synchronous handler mirrors get_json_object for PLAIN dotted paths
+# only; bracketed/indexed JsonPath ($.items[0].id) or exotic field names
+# would silently diverge from the engine verdict, so they are refused
+# loudly at server construction
+_KEY_PATH_RE = re.compile(r"^\$\.[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
 # Absolute wire-size ceiling, enforced BEFORE the body is read: a forged
 # multi-GB Content-Length must not buffer unbounded memory in the
 # handler thread (same adversarial-input class as the Avro decoder's
@@ -87,7 +93,7 @@ def _sync_verdict(payload: str | None, key_path: str | None, max_bytes: int | No
         return BAD_REQUEST
     if key_path is not None:
         cur: object = doc
-        for part in key_path.lstrip("$.").split("."):
+        for part in key_path[2:].split("."):
             if not isinstance(cur, dict) or part not in cur or cur[part] is None:
                 return BAD_REQUEST
             cur = cur[part]
@@ -110,6 +116,11 @@ class IngestHttpServer:
         port: int = 0,
         auto_flush_every: int = 64,
     ) -> None:
+        if key_path is not None and not _KEY_PATH_RE.match(key_path):
+            raise ValueError(
+                f"key_path {key_path!r} is not a plain dotted JsonPath "
+                "($.a.b); the synchronous handler cannot mirror it"
+            )
         os.makedirs(spool_dir, exist_ok=True)
         self.spool_dir = spool_dir
         self.key_path = key_path

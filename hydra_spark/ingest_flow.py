@@ -53,7 +53,11 @@ def ingest_requests(
     parsed = F.from_json(
         payload, f"{value_schema}, {corrupt} STRING", {"columnNameOfCorruptRecord": corrupt}
     )
-    malformed = parsed.getField(corrupt).isNotNull()
+    # from_json yields a whole-NULL struct (NOT a corrupt record) for
+    # whitespace-only and literal-"null" payloads; both must be 400 to
+    # stay in lockstep with the synchronous HTTP handler's raw_decode
+    # verdict (http_flow._sync_verdict)
+    malformed = parsed.getField(corrupt).isNotNull() | parsed.isNull()
     parsed = parsed.dropFields(corrupt)
     key = F.get_json_object(payload, key_path) if key_path else F.lit(None).cast("string")
 
@@ -63,7 +67,7 @@ def ingest_requests(
     n_bytes = F.octet_length(payload)
     too_large = (n_bytes > max_bytes) if max_bytes is not None else F.lit(False)
     error = (
-        F.when(payload.isNull(), F.lit("MissingPayload"))
+        F.when(payload.isNull() | (F.trim(payload) == ""), F.lit("MissingPayload"))
         .when(
             too_large,
             F.concat(F.lit("RecordTooLarge:"), n_bytes.cast("string"), F.lit(f">{max_bytes}")),

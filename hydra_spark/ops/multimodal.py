@@ -313,24 +313,38 @@ def extract_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("media_id", T.StringType(), False),
-            T.StructField("frame_idx", T.IntegerType(), False),
-            T.StructField("width", T.IntegerType(), False),
-            T.StructField("height", T.IntegerType(), False),
-            T.StructField("frame_mean", T.DoubleType(), False),
-            T.StructField("frame_min", T.IntegerType(), False),
-            T.StructField("frame_max", T.IntegerType(), False),
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("frame_mean", T.DoubleType(), True),
+            T.StructField("frame_min", T.IntegerType(), True),
+            T.StructField("frame_max", T.IntegerType(), True),
+            T.StructField("decode_error", T.StringType(), True),
         ]
     )
+    cols = ("media_id", "frame_idx", "width", "height",
+            "frame_mean", "frame_min", "frame_max", "decode_error")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "frame_idx", "width", "height", "frame_mean", "frame_min", "frame_max")}
+            out: dict[str, list] = {k: [] for k in cols}
+
+            def quarantine(mid: str, msg: str) -> None:
+                # visible error row, not a silent drop: a systematically
+                # corrupt source must not shrink frame stats untraced
+                out["media_id"].append(mid)
+                for k in cols[1:-1]:
+                    out[k].append(None)
+                out["decode_error"].append(msg)
+
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
+                    quarantine(mid, "null payload")
                     continue
                 try:
                     frames = decode_video(bytes(p))
-                except ValueError:
+                except ValueError as e:
+                    quarantine(mid, str(e))
                     continue
                 nf, h, w = frames.shape[:3]
                 for i in range(0, nf, every_n):
@@ -342,6 +356,7 @@ def extract_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                     out["frame_mean"].append(float(fr.mean(dtype=np.float64)))
                     out["frame_min"].append(int(fr.min()))
                     out["frame_max"].append(int(fr.max()))
+                    out["decode_error"].append(None)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, schema=schema)

@@ -215,3 +215,101 @@ def test_prop_array_garbage_never_escapes(payload):
         W.decode_record(_ARR_DESC, payload)
     except ValueError:
         pass
+
+
+# --------------------------------------------- adversarial / edge wire
+
+def test_varint_overflow_rejected():
+    # 10-byte varint accumulating past 64 bits is forged, never legal
+    forged = b"\x80\x80\x80\x80\x80\x80\x80\x80\x80\x7f"
+    with pytest.raises(ValueError, match="64 bits"):
+        W._Reader(forged).varint()
+    # the full uint64 zigzag range still decodes
+    top = bytearray()
+    W._w_varint(top, 2**64 - 1)
+    assert W._Reader(bytes(top)).varint() == W._unzigzag(2**64 - 1)
+
+
+def test_int_field_range_enforced():
+    import json as _json
+    sch = _json.dumps(
+        {"type": "record", "name": "R", "fields": [{"name": "i", "type": "int"}]}
+    )
+    desc = W.parse_schema(sch)
+    # encode: a python long past int32 must refuse, not silently widen
+    with pytest.raises(ValueError, match="out of range"):
+        W.encode_record(desc, {"i": 2**31})
+    assert W.decode_record(desc, W.encode_record(desc, {"i": -(2**31)})) == {
+        "i": -(2**31)
+    }
+    # decode: a wire varint past int32 under an int reader must refuse
+    wire = bytearray()
+    W._w_varint(wire, W._zigzag(2**40))
+    with pytest.raises(ValueError, match="int32"):
+        W.decode_record(desc, bytes(wire))
+    # long fields keep the full 64-bit range
+    with pytest.raises(ValueError, match="out of range"):
+        W.encode_record(DESC, {"k": 2**63, "status": "", "price": 0.0, "note": None})
+
+
+def test_nan_is_null_branch_in_nullable_union(spark):
+    """pandas collapses SQL NULL in nullable numeric columns to NaN;
+    the encoder must emit the null branch, so NULL survives an Arrow
+    round-trip instead of becoming NaN."""
+    import json as _json
+    sch = _json.dumps(
+        {
+            "type": "record",
+            "name": "N",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "d", "type": ["null", "double"]},
+                {"name": "n", "type": ["null", "long"]},
+            ],
+        }
+    )
+    src = spark.range(6).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 1.5).alias("d"),
+        F.when(F.col("id") % 3 == 0, F.col("id") * 10).alias("n"),
+    )
+    enc = W.encode_records(src, sch, ["k", "d", "n"])
+    assert enc.where(F.col("encode_error").isNotNull()).count() == 0
+    dec = W.decode_records(enc.select("avro"), sch)
+    rows = {r["k"]: r for r in dec.collect()}
+    assert len(rows) == 6 and all(r["decode_error"] is None for r in rows.values())
+    for k, r in rows.items():
+        assert r["d"] == (k * 1.5 if k % 2 == 0 else None)
+        assert r["n"] == (k * 10 if k % 3 == 0 else None)
+
+
+def test_encode_quarantine_not_job_kill(spark):
+    """A row the schema cannot represent becomes an encode_error row;
+    the batch and the job survive."""
+    import json as _json
+    sch = _json.dumps(
+        {"type": "record", "name": "R", "fields": [{"name": "i", "type": "int"}]}
+    )
+    src = spark.range(10).select(
+        F.when(F.col("id") == 7, F.lit(2**40)).otherwise(F.col("id")).alias("i")
+    )
+    enc = W.encode_records(src, sch, ["i"])
+    rows = {r["i"]: r for r in enc.collect()}
+    assert rows[2**40]["avro"] is None and "out of range" in rows[2**40]["encode_error"]
+    ok = [r for r in rows.values() if r["i"] != 2**40]
+    assert len(ok) == 9 and all(r["encode_error"] is None and r["avro"] for r in ok)
+
+
+def test_keep_cols_collision_refused(spark):
+    src = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit("s").alias("status"),
+        F.lit(1.0).alias("price"),
+        F.lit(None).cast("string").alias("note"),
+    )
+    enc = W.encode_records(src, SCHEMA, ["k", "status", "price", "note"])
+    with pytest.raises(ValueError, match="collide"):
+        W.decode_records(enc, SCHEMA, keep_cols=["k"])
+    with pytest.raises(ValueError, match="collide"):
+        W.decode_records(enc.withColumnRenamed("encode_error", "decode_error"),
+                         SCHEMA, keep_cols=["decode_error"])

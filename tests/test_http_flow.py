@@ -71,6 +71,9 @@ def test_handler_engine_parity(spark, server):
         '{"k": null, "v": 1}',  # null key: both sides must say 400
         '{"k": "pad", "pad": "%s"}' % ("y" * 80),
         '{"k": "c", "v": 2}  #garbage',
+        "",        # empty body: MissingPayload on both sides
+        "   \t ",  # whitespace-only: from_json NULL-struct, raw_decode error
+        "null",    # literal null: whole-NULL parse must be 400, not 200
     ]
     for i, b in enumerate(bodies):
         _post(server.address, b, corr=f"p{i}")
@@ -151,3 +154,14 @@ def test_auto_flush(tmp_path):
         assert len(glob.glob(str(tmp_path / "sp" / "*.json"))) == 1
     finally:
         s.close()
+
+
+def test_exotic_key_path_refused_at_construction(tmp_path):
+    """The synchronous handler can only mirror plain dotted JsonPaths;
+    anything else must fail loudly at server construction instead of
+    silently diverging from the engine verdict."""
+    for bad in ("$.items[0].id", "k", "$['k']", "$.", "$.a-b"):
+        with pytest.raises(ValueError, match="key_path"):
+            http_flow.IngestHttpServer(str(tmp_path / "sp"), key_path=bad)
+    # plain dotted paths still construct
+    http_flow.IngestHttpServer(str(tmp_path / "ok"), key_path="$.a.b_2").close()

@@ -876,3 +876,26 @@ def test_chunk_dedup_and_pack_null_and_empty_edges(spark):
     out = pack_sequences(empty, budget=16)
     assert out.count() == 0
     assert out.columns == ["doc_id", "n_tokens", "stream_start", "pack_id"]
+
+
+def test_extract_frames_quarantines_bad_payloads(spark):
+    """Corrupt and null video payloads become visible decode_error rows
+    instead of silently shrinking the frame stats."""
+    from hydra_spark.ops.multimodal import decode_video, extract_frames
+
+    good = b"RV01 0002 0002 000002\n" + bytes(range(24))
+    assert decode_video(good).shape == (2, 2, 2, 3)
+    media = spark.createDataFrame(
+        [
+            ("ok", bytearray(good)),
+            ("junk", bytearray(b"not a video")),
+            ("empty", None),
+        ],
+        schema="media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_frames(media, every_n=1).collect()}
+    # quarantined rows collapse to one error row per media_id
+    assert rows["junk"].decode_error is not None and rows["junk"].frame_idx is None
+    assert rows["empty"].decode_error == "null payload"
+    ok = [r for r in extract_frames(media, every_n=1).collect() if r.media_id == "ok"]
+    assert len(ok) == 2 and all(r.decode_error is None for r in ok)

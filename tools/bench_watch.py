@@ -70,9 +70,17 @@ def main() -> int:
             continue
         env = dict(os.environ, HYDRA_BENCH_HEADLINE="0",
                    HYDRA_BENCH_PAIRS=args.pair)
-        r = subprocess.run([sys.executable, "bench.py"], cwd="/root/repo",
-                           env=env, capture_output=True, text=True,
-                           timeout=3600)
+        try:
+            r = subprocess.run([sys.executable, "bench.py"], cwd="/root/repo",
+                               env=env, capture_output=True, text=True,
+                               timeout=7200)
+        except subprocess.TimeoutExpired:
+            # first launch may synthesize ~37 GB before measuring; a hung
+            # run must not kill the multi-hour campaign
+            print("[watch] bench timed out after 7200s, waiting for next "
+                  "window", flush=True)
+            time.sleep(args.probe_min * 60)
+            continue
         line = next((ln for ln in r.stdout.splitlines()
                      if ln.startswith("{")), "")
         eff = None
@@ -97,8 +105,12 @@ def main() -> int:
                 return 0
         else:
             # a clean-probe window can still dirty mid-run; the in-run
-            # per-trial stamps decide what the sidecar keeps
-            print("[watch] below target, waiting for next window", flush=True)
+            # per-trial stamps decide what the sidecar keeps.  The VERDICT
+            # gate asks for CONSECUTIVE healthy marks, so a completed
+            # below-target run resets the streak.
+            passes = 0
+            print("[watch] below target, streak reset, waiting for next "
+                  "window", flush=True)
         time.sleep(60)
     print(f"[watch] deadline reached with {passes} passes", flush=True)
     return 1

@@ -514,9 +514,12 @@ def dataset_bytes_needed(root: str, n: int) -> int:
     if os.path.exists(os.path.join(root, f"transcripts_n{n}", "_SUCCESS")):
         return 0
     need = n * BYTES_PER_CLIP
-    if n < 500_000 and n >= DROP_INTERMEDIATE_MIN_N:
-        # two-step path: the joined intermediate coexists with the audio
-        # stream until the split finishes (then it is deleted)
+    if n < DROP_INTERMEDIATE_MIN_N:
+        # small/test sizes take the two-step path: the joined
+        # intermediate coexists with the audio stream until the split
+        # finishes. Bench sizes (>= DROP_INTERMEDIATE_MIN_N) use the
+        # fused writer, whose only footprint is the output itself (the
+        # pre-encode metadata shuffle is KB-scale).
         need *= 2
     return need
 
@@ -556,6 +559,15 @@ def ensure_dataset(
     # estimating or regenerating
     for k in ("clips", "audio", "transcripts"):
         _purge_aborted(paths[k])
+    if with_streams and n >= DROP_INTERMEDIATE_MIN_N:
+        # bench sizes: a cached joined intermediate is NOT worth
+        # splitting from — split_streams repartitions the waveform
+        # bytes, so its shuffle spill alone equals the output size
+        # (round-5 post-mortem: split-from-intermediate at 480k hit
+        # ENOSPC with 25 GiB free). The fused writer regenerates
+        # waveforms with a KB-scale metadata shuffle instead; reclaim
+        # the intermediate's ~2x-audio footprint up front.
+        shutil.rmtree(paths["clips"], ignore_errors=True)
     have_clips = os.path.exists(os.path.join(paths["clips"], "_SUCCESS"))
     need = dataset_bytes_needed(root, n)
     free = shutil.disk_usage(root if os.path.isdir(root) else "/").free
@@ -569,10 +581,12 @@ def ensure_dataset(
     # file count bounds streaming scan/decode parallelism (one task
     # per file) — scale with n, cap at 128
     files = max(8, min(128, n // 2000))
-    if with_streams and not have_clips and n >= 500_000:
-        # large sizes: fused generation — skip the joined intermediate
-        # (its ~2x-audio disk footprint doesn't fit next to the other
-        # cached bench datasets); row-identical to the two-step path
+    if with_streams and not have_clips and n >= DROP_INTERMEDIATE_MIN_N:
+        # bench sizes: fused generation — skip the joined intermediate
+        # entirely (its ~2x-audio disk footprint doesn't fit next to the
+        # other cached bench datasets, and it would only be deleted after
+        # the split anyway); row-identical to the two-step path
+        # (tests/test_synth_direct.py pins parity).
         write_streams_direct(
             spark, paths["audio"], paths["transcripts"], n, seed, files=files
         )
